@@ -1,0 +1,127 @@
+"""Plain-Python tokenizer/analyzer kernels.
+
+These are the single-value kernels; the Spark column surface wraps them in
+Arrow-vectorized UDFs (``analysis/udfs.py``) or replaces them with native
+Catalyst expressions where possible. They also run driver-side to analyze
+query strings (queries are tiny — no reason to ship them to executors).
+
+Reference semantics:
+* punctuation tokenizer — ``analysis/PunctuationTokenizer.java:20-58``:
+  trim → lowercase → split on the class ``[,.;?! ^\\f\\n\\r\\t\\v]``
+  (the ``^`` is a LITERAL caret) → drop empties → drop the fixed
+  127 stopwords.
+* naive tokenizer — ``analysis/NaiveAnalyzer.java:13-15``:
+  ``text.toLowerCase().split("\\s+")`` (no trim / stopwords / stemming).
+* word-break tokenizer — ``analysis/WordBreakTokenizer.java:36-134``:
+  DP maximizing the product of unigram probabilities; case-insensitive;
+  stopwords removed from the result; raises if unbreakable.
+* composed analyzer — ``analysis/ComposableAnalyzer.java:21-23``:
+  tokenize, then stem each token.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import lru_cache
+
+from mini_search_engine_spark.analysis.porter import porter_stem
+from mini_search_engine_spark.analysis.stopwords import STOP_WORDS
+
+# Literal caret and \v (\x0b) intentionally inside the class — see reference.
+PUNCT_SPLIT_RE = re.compile(r"[,.;?! ^\f\n\r\t\x0b]")
+# The same pattern for engines that take a regex string (Spark F.split, DuckDB).
+PUNCT_SPLIT_PATTERN = "[,.;?! ^\\f\\n\\r\\t\\x0B]"
+
+NAIVE_SPLIT_RE = re.compile(r"\s+")
+
+
+def punctuation_tokenize(text: str | None) -> list[str]:
+    if not text:
+        return []
+    toks = PUNCT_SPLIT_RE.split(text.strip().lower())
+    return [t for t in toks if t and t not in STOP_WORDS]
+
+
+def naive_tokenize(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    # Java split("\s+") emits a leading "" for leading whitespace and
+    # returns [""] for the empty string; downstream posting build ignores
+    # empty terms, so we drop empties here for a cleaner surface.
+    return [t for t in NAIVE_SPLIT_RE.split(text.lower()) if t]
+
+
+class WordBreakError(ValueError):
+    """Raised when the input cannot be segmented with the dictionary
+    (reference throws RuntimeException, ``WordBreakTokenizer.java:107-109``)."""
+
+
+def load_frequency_dict(lines) -> dict[str, float]:
+    """Parse ``word freq`` lines into a probability dict (freq / total)."""
+    freqs: dict[str, float] = {}
+    total = 0.0
+    for line in lines:
+        parts = line.strip().split(" ")
+        if len(parts) != 2:
+            continue
+        f = float(parts[1])
+        freqs[parts[0]] = f
+        total += f
+    return {w: f / total for w, f in freqs.items()}
+
+
+def word_break_tokenize(text: str | None, prob_dict: dict[str, float]) -> list[str]:
+    """DP word-break maximizing sum of log-probabilities (= max product)."""
+    if not text:
+        return []
+    s = text.strip().lower()
+    n = len(s)
+    if n == 0:
+        return []
+    logp = {w: math.log(p) for w, p in prob_dict.items()}
+    max_word = max((len(w) for w in logp), default=0)
+    # best[i] = (score, split_j) for s[i:] ; score = max sum of log probs
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [-1] * (n + 1)
+    best[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        hi = min(n, i + max_word)
+        for j in range(i + 1, hi + 1):
+            w = s[i:j]
+            lp = logp.get(w)
+            if lp is not None and best[j] != NEG:
+                cand = lp + best[j]
+                if cand > best[i]:
+                    best[i] = cand
+                    back[i] = j
+    if best[0] == NEG:
+        raise WordBreakError(f"Can't break this word: {text!r}")
+    out: list[str] = []
+    i = 0
+    while i < n:
+        j = back[i]
+        tok = s[i:j]
+        if tok not in STOP_WORDS:
+            out.append(tok)
+        i = j
+    return out
+
+
+@lru_cache(maxsize=1 << 16)
+def _stem_cached(tok: str) -> str:
+    return porter_stem(tok)
+
+
+def analyze(text: str | None, tokenizer: str = "punctuation", stem: bool = True) -> list[str]:
+    """Composed analyzer (tokenize → stem each token), driver-side kernel."""
+    if tokenizer == "punctuation":
+        toks = punctuation_tokenize(text)
+    elif tokenizer == "naive":
+        toks = naive_tokenize(text)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if stem:
+        toks = [_stem_cached(t) for t in toks]
+    return toks

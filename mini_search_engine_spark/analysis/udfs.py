@@ -1,0 +1,80 @@
+"""Spark column surface for the analyzers.
+
+Design rule (BASELINE.json input_hint): no per-row Python. Two execution
+paths:
+
+* **native** — tokenization without stemming is pure Catalyst
+  (`split`/`lower`/`trim`/`filter`), stays inside whole-stage codegen,
+  zero Python.
+* **arrow** — the composed punctuation+Porter analyzer needs the stemmer,
+  so it runs as an Arrow-batched ``pandas_udf`` returning
+  ``array<string>`` with a process-wide memo dict (token vocabulary is
+  far smaller than token count, so stemming amortizes to a dict lookup).
+
+Reference: ``analysis/ComposableAnalyzer.java:21-23`` (tokenize → stem).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from mini_search_engine_spark.analysis.stopwords import STOP_WORDS_SORTED
+from mini_search_engine_spark.analysis.tokenizers import (
+    PUNCT_SPLIT_PATTERN,
+    analyze,
+)
+
+
+def _punct_tokens_native(col: Column) -> Column:
+    """PunctuationTokenizer as pure Catalyst: trim → lower → regex split →
+    drop empties → drop stopwords. ``isin`` over the 127-word list compiles
+    to an InSet hash probe."""
+    toks = F.split(F.lower(F.trim(col)), PUNCT_SPLIT_PATTERN)
+    return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(*STOP_WORDS_SORTED))
+
+
+def _naive_tokens_native(col: Column) -> Column:
+    toks = F.split(F.lower(col), "\\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def _make_analyze_pandas(tokenizer: str, stem: bool):
+    @F.pandas_udf(ArrayType(StringType()))
+    def _analyze(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: analyze(t, tokenizer=tokenizer, stem=stem))
+
+    return _analyze
+
+
+# name -> Column -> Column producing array<string> tokens
+ANALYZERS: dict[str, Callable[[Column], Column]] = {
+    # flagship: reference ComposableAnalyzer(PunctuationTokenizer, PorterStemmer)
+    "porter": lambda c: _make_analyze_pandas("punctuation", True)(c),
+    # tokenizer-only (native, codegen) — used for DuckDB-oracle parity queries
+    "punct_nostem": _punct_tokens_native,
+    # reference NaiveAnalyzer (native)
+    "naive": _naive_tokens_native,
+}
+
+
+def analyze_col(col: Column, analyzer: str = "porter") -> Column:
+    try:
+        return ANALYZERS[analyzer](col)
+    except KeyError:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {sorted(ANALYZERS)}")
+
+
+def analyze_query(text: str, analyzer: str = "porter") -> list[str]:
+    """Driver-side query analysis with semantics identical to analyze_col."""
+    if analyzer == "porter":
+        return analyze(text, tokenizer="punctuation", stem=True)
+    if analyzer == "punct_nostem":
+        return analyze(text, tokenizer="punctuation", stem=False)
+    if analyzer == "naive":
+        return analyze(text, tokenizer="naive", stem=False)
+    raise ValueError(f"unknown analyzer {analyzer!r}")

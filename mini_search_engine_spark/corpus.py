@@ -1,0 +1,191 @@
+"""Corpus ingestion: canonical (docid, content) frame, stable docids, sha256.
+
+The reference's document model is a single-string row addressed by an
+arrival-order int docid (``storage/Document.java:8-22``,
+``index/inverted/InvertedIndexManager.java:162-166``). Here a corpus is any
+DataFrame with a long ``docid`` and string ``content`` column; two input
+shapes are adapted:
+
+* the BASELINE.json ``input_hint`` shape
+  ``(repo, path, commit, lang, content)`` — docid derived stably from
+  ``(repo, path)`` ordering (NOT ``monotonically_increasing_id``, which is
+  neither dense nor resume-stable);
+* the driver testdata ``documents`` shape
+  ``(doc_id, text, lang, source, n_chars)`` — ``doc_id``/``text`` reused.
+
+Per-row invariant (input_hint): ``sha256(content)`` equality against the
+source table — carried as a ``sha`` column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
+    return df.withColumn("sha", F.sha2(F.col(content_col), 256))
+
+
+def assign_docids(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign dense, deterministic long docids by global order of order_cols.
+
+    Scale path: range-partition + partition-local sort, count rows per
+    partition (tiny driver-side cumsum), then add the partition offset to a
+    partition-local row number computed in one Arrow pass. No global sort
+    collapse onto a single reducer; the only full-data movement is the
+    range exchange, which a 1000-executor cluster does in parallel.
+
+    Replaces the reference's arrival-order assignment
+    (``InvertedIndexManager.java:162-166``) with a resume-stable rule
+    (SURVEY.md §7.1 trap #5).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = T.StructType(parted.schema.fields + [T.StructField("docid", T.LongType(), False)])
+    off_b = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_ids(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = off_b.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["docid"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out = parted.mapInPandas(add_ids, schema=schema)
+    return out.drop("_pid")
+
+
+def load_corpus(df: DataFrame) -> DataFrame:
+    """Canonicalize either supported shape to (docid, content, lang, sha, …)."""
+    cols = set(df.columns)
+    if {"doc_id", "text"} <= cols:
+        out = df.withColumnRenamed("doc_id", "docid").withColumnRenamed("text", "content")
+        out = out.withColumn("docid", F.col("docid").cast("long"))
+    elif {"repo", "path", "content"} <= cols:
+        out = assign_docids(df, ["repo", "path"])
+    else:
+        raise ValueError(f"unrecognized corpus schema: {sorted(cols)}")
+    return with_sha(out)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the driver testdata documents table as a canonical corpus."""
+    return load_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic source-code corpus (input_hint shape) for tests
+# and the indexing benchmark; replaces the reference's webpages/cleaned/
+# directory scan (search/IcsSearchEngine.java:96-110). No external data.
+# ---------------------------------------------------------------------------
+
+_LANGS = ["java", "py", "scala", "md"]
+_KEYWORDS = (
+    "import public return class void static final def val object package "
+    "spark index segment posting merge flush search query token stem rank "
+    "score document page channel buffer compress decode varint delta block "
+    "partition shuffle broadcast skew salt checkpoint lineage iceberg parquet"
+).split()
+_ENGLISH = (
+    "stemming is an important concept in computer science information "
+    "retrieval is the activity of obtaining resources relevant to a need "
+    "from a collection the quick brown fox jumps over the lazy dog writing "
+    "tests turning results applications clothes satisfactory wearing"
+).split()
+_PHRASES = ["inverted index manager", "block max wand", "salted merge join"]
+
+
+def synthesize_source_corpus(
+    spark: SparkSession,
+    n_docs: int = 2000,
+    seed: int = 42,
+    n_repos: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded corpus of (repo, path, commit, lang, content) rows.
+
+    Content mixes hot code keywords (``import`` etc. — stopword-grade skew
+    terms), English sentences (exercises stemmer + stopwords) and planted
+    phrases (exercises phrase search). Generation is distributed: rows are
+    produced on executors from (repo_idx, doc_idx) keys, each with its own
+    seeded RNG — deterministic regardless of parallelism.
+    """
+    rng_free = list(range(n_docs))
+    base = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    n_repos_b = n_repos
+    seed_b = seed
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+            for i in ids:
+                rng = random.Random((seed_b, i))
+                repo_i = i % n_repos_b
+                repo = f"org/proj{repo_i}"
+                lang = _LANGS[rng.randrange(len(_LANGS))]
+                path = f"src/pkg{i % 13}/File{i // n_repos_b}.{lang}"
+                commit = hashlib.sha1(f"{seed_b}:{repo}".encode()).hexdigest()
+                n_words = 20 + rng.randrange(180)
+                words = []
+                for _ in range(n_words):
+                    r = rng.random()
+                    if r < 0.45:
+                        # zipf-ish skew over keywords: hot head terms
+                        idx = min(int(rng.paretovariate(1.1)) - 1, len(_KEYWORDS) - 1)
+                        words.append(_KEYWORDS[idx])
+                    elif r < 0.8:
+                        words.append(_ENGLISH[rng.randrange(len(_ENGLISH))])
+                    else:
+                        words.append(f"ident{rng.randrange(500)}")
+                if rng.random() < 0.2:
+                    pos = rng.randrange(len(words) + 1)
+                    words[pos:pos] = _PHRASES[rng.randrange(len(_PHRASES))].split()
+                content = " ".join(words)
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(commit)
+                rows["lang"].append(lang)
+                rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("content", T.StringType(), False),
+        ]
+    )
+    _ = rng_free
+    return base.mapInPandas(gen, schema=schema)

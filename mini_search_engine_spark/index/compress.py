@@ -1,0 +1,147 @@
+"""Posting-list codecs: delta + varint, and the naive 4-byte format.
+
+Byte-compatible with the reference codecs:
+
+* ``DeltaVarLenCompressor`` (``index/positional/DeltaVarLenCompressor.java:14-91``):
+  gaps (``g[0]=v[0]``, ``g[i]=v[i]-v[i-1]``), each gap emitted as 7-bit
+  groups most-significant-first with continuation bit 0x80 on every byte
+  except the last; zero encodes as a single ``0x00``. Byte goldens from
+  ``Team1CompressorTest.java:46-75`` are replicated in tests.
+* ``NaiveCompressor`` (``index/positional/NaiveCompressor.java:11-29``):
+  4-byte big-endian ints, no compression.
+
+Python-side kernels are numpy-vectorized where it matters (delta via
+``np.diff``/``np.cumsum``; varint group extraction via shifts) and exposed
+as Arrow-batched pandas UDF column functions so encode/decode stays off the
+per-row-Python slow path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, IntegerType, LongType
+
+
+# --------------------------- scalar/numpy kernels ---------------------------
+
+def _varint_bytes(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64 array as concatenated varints
+    (7-bit groups, MSB-group first, 0x80 continuation on all but last)."""
+    if len(values) == 0:
+        return b""
+    vals = values.astype(np.uint64)
+    # bit length per value, then 7-bit group count: ceil(bitlen/7), min 1
+    bitlen = np.zeros(len(vals), dtype=np.int64)
+    tmp = vals.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bitlen[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    ngroups = np.maximum((bitlen + 6) // 7, 1)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    # emit groups: for each value, groups MSB-first
+    maxg = int(ngroups.max())
+    for g in range(maxg):
+        # group index from the END (LSB side): last group of value i sits at ends[i]-1
+        sel = ngroups > g
+        pos = ends[sel] - 1 - g
+        shifted = (vals[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = np.where(g == 0, 0, 0x80)
+        out[pos] = shifted.astype(np.uint8) | np.uint8(cont)
+    return out.tobytes()
+
+
+def _varint_parse(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.int64)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (arr & 0x80) == 0
+    # value id per byte = count of previous terminators
+    vid = np.zeros(len(arr), dtype=np.int64)
+    vid[1:] = np.cumsum(is_last[:-1])
+    nvals = int(is_last.sum())
+    payload = (arr & 0x7F).astype(np.uint64)
+    vals = np.zeros(nvals, dtype=np.uint64)
+    # accumulate MSB-first: val = val*128 + group
+    # loop over max groups per value (bounded by 10 for 64-bit)
+    # position within value:
+    lasts = np.nonzero(is_last)[0]
+    starts = np.empty(nvals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = lasts[:-1] + 1
+    lens = lasts - starts + 1
+    maxg = int(lens.max())
+    for g in range(maxg):
+        sel = lens > g
+        idx = starts[sel] + g
+        vals[sel] = (vals[sel] << np.uint64(7)) | payload[idx]
+    return vals.astype(np.int64)
+
+
+def delta_varint_encode(values) -> bytes:
+    """Encode a sorted (or any) int sequence: delta then varint."""
+    a = np.asarray(values, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    if (gaps[1:] < 0).any():
+        raise ValueError("delta_varint_encode requires non-decreasing input")
+    return _varint_bytes(gaps)
+
+
+def delta_varint_decode(buf: bytes) -> np.ndarray:
+    gaps = _varint_parse(bytes(buf))
+    return np.cumsum(gaps)
+
+
+def varint_encode(values) -> bytes:
+    """Varint without delta (for tf arrays, which aren't sorted)."""
+    return _varint_bytes(np.asarray(values, dtype=np.int64))
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    return _varint_parse(bytes(buf))
+
+
+def naive_encode(values) -> bytes:
+    return np.asarray(values, dtype=">i4").tobytes()
+
+
+def naive_decode(buf: bytes) -> np.ndarray:
+    return np.frombuffer(bytes(buf), dtype=">i4").astype(np.int64)
+
+
+# ----------------------------- column functions -----------------------------
+
+@F.pandas_udf(BinaryType())
+def delta_varint_encode_udf(arrs: pd.Series) -> pd.Series:
+    return arrs.map(lambda a: delta_varint_encode(a) if a is not None else None)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def delta_varint_decode_udf(bufs: pd.Series) -> pd.Series:
+    return bufs.map(lambda b: delta_varint_decode(b).tolist() if b is not None else None)
+
+
+@F.pandas_udf(BinaryType())
+def varint_encode_udf(arrs: pd.Series) -> pd.Series:
+    return arrs.map(lambda a: varint_encode(a) if a is not None else None)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def varint_decode_int_udf(bufs: pd.Series) -> pd.Series:
+    return bufs.map(lambda b: varint_decode(b).astype("int32").tolist() if b is not None else None)
+
+
+def encoded_size(col: Column) -> Column:
+    return F.octet_length(col)

@@ -1,0 +1,26 @@
+"""Query operators: boolean/keyword/phrase, TF-IDF, BM25, PageRank."""
+
+from mini_search_engine_spark.search.boolean import (
+    search_keyword,
+    search_and,
+    search_or,
+    search_phrase,
+)
+from mini_search_engine_spark.search.ranking import (
+    search_tfidf,
+    bm25_topk,
+)
+from mini_search_engine_spark.search.fullscan import full_scan_search
+from mini_search_engine_spark.search.pagerank import pagerank, combined_search
+
+__all__ = [
+    "search_keyword",
+    "search_and",
+    "search_or",
+    "search_phrase",
+    "search_tfidf",
+    "bm25_topk",
+    "full_scan_search",
+    "pagerank",
+    "combined_search",
+]

@@ -1,0 +1,121 @@
+"""Boolean query operators: keyword, AND, OR, phrase.
+
+Reference semantics (post-merge, i.e. logical corpus-wide — SURVEY.md §7.1
+trap #4):
+
+* keyword — ``searchQuery`` analyzes the keyword and uses its FIRST token;
+  empty analysis → empty result (``InvertedIndexManager.java:879-926``).
+* AND — ``searchAndQuery``: any keyword whose analysis is empty → empty
+  result; otherwise docs containing ALL analyzed terms
+  (``:934-1024``; smallest-list-first binary-search intersection — the
+  physical strategy is Catalyst's to choose here).
+* OR — ``searchOrQuery``: sorted de-duplicated union (``:1032-1094``).
+* phrase — ``searchPhraseQuery``: positional index required (throws
+  otherwise, ``:1107-1108``); AND-intersect then left-fold positional
+  adjacency (``:1224-1252``). The fold is expressed natively:
+  ``surv_k = array_intersect(transform(surv_{k-1}, p→p+1), positions_k)``.
+
+All functions return a DataFrame of ``docid`` (ascending), ready to join
+back to the corpus for content fetch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.analysis.udfs import analyze_query
+from mini_search_engine_spark.index.build import InvertedIndex
+
+
+def _empty_docids(index: InvertedIndex) -> DataFrame:
+    return (
+        index.postings.sparkSession.range(0)
+        .select(F.col("id").alias("docid"))
+    )
+
+
+def _postings_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Blocked postings rows for the given terms (term-pruned parquet scan)."""
+    return index.decoded().postings.filter(F.col("term").isin(terms))
+
+
+def search_keyword(index: InvertedIndex, keyword: str) -> DataFrame:
+    toks = analyze_query(keyword, index.analyzer)
+    if not toks:
+        return _empty_docids(index)
+    t = toks[0]
+    return (
+        _postings_for(index, [t])
+        .select(F.explode("docids").alias("docid"))
+        .orderBy("docid")
+    )
+
+
+def search_and(index: InvertedIndex, keywords: list[str]) -> DataFrame:
+    term_lists = [analyze_query(k, index.analyzer) for k in keywords]
+    if any(not tl for tl in term_lists):
+        return _empty_docids(index)  # reference `:941-945`
+    terms = sorted({t for tl in term_lists for t in tl})
+    n = len(terms)
+    return (
+        _postings_for(index, terms)
+        .select("term", F.explode("docids").alias("docid"))
+        .groupBy("docid")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == n)
+        .select("docid")
+        .orderBy("docid")
+    )
+
+
+def search_or(index: InvertedIndex, keywords: list[str]) -> DataFrame:
+    terms = sorted({t for k in keywords for t in analyze_query(k, index.analyzer)})
+    if not terms:
+        return _empty_docids(index)
+    return (
+        _postings_for(index, terms)
+        .select(F.explode("docids").alias("docid"))
+        .distinct()
+        .orderBy("docid")
+    )
+
+
+def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
+    """Docs containing the analyzed phrase tokens consecutively, in order."""
+    if not index.positional:
+        raise NotImplementedError(
+            "phrase search requires a positional index"  # reference `:1107-1108`
+        )
+    text = " ".join(phrase) if isinstance(phrase, list) else phrase
+    terms = analyze_query(text, index.analyzer)
+    if not terms:
+        return _empty_docids(index)
+    if len(terms) == 1:
+        return search_keyword(index, terms[0])
+
+    posts = _postings_for(index, sorted(set(terms)))
+    # per-(term, docid) positions — one exploded frame, reused per phrase slot
+    tp = posts.select(
+        "term",
+        F.explode(F.arrays_zip("docids", "positions")).alias("z"),
+    ).select("term", F.col("z.docids").alias("docid"), F.col("z.positions").alias("pos"))
+
+    joined: DataFrame | None = None
+    for i, t in enumerate(terms):
+        cur = tp.filter(F.col("term") == t).select(
+            F.col("docid"), F.col("pos").alias(f"pos_{i}")
+        )
+        joined = cur if joined is None else joined.join(cur, "docid")
+
+    surv = F.col("pos_0")
+    for i in range(1, len(terms)):
+        surv = F.array_intersect(
+            F.transform(surv, lambda p: p + 1), F.col(f"pos_{i}")
+        )
+    return (
+        joined.withColumn("surv", surv)
+        .filter(F.size("surv") > 0)
+        .select("docid")
+        .orderBy("docid")
+    )

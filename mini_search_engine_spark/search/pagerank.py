@@ -1,0 +1,100 @@
+"""PageRank + combined web ranking.
+
+Reference: ``search/IcsSearchEngine.computePageRank``
+(``IcsSearchEngine.java:116-174``): damping d=0.85, all scores init 1.0,
+per iteration ``score(v) = (1-d) + d·Σ_{u→v} prev(u)/outdeg(u)`` — the
+UN-normalized variant with no dangling-mass redistribution. Nodes with no
+in-links settle at ``1-d``. The reference publishes the ``prev`` buffer
+after its swap loop (``:149-155``), i.e. the last completed iteration —
+running exactly ``num_iter`` iterations here matches it.
+
+Combined ranking: ``IcsSearchEngine.searchQuery`` (``:199-232``) —
+``combined = tfidf + w · pagerank``, sort desc, truncate.
+
+Spark-first: the iteration is a join+groupBy loop over DataFrames with
+``localCheckpoint`` every few rounds to cut lineage (100 iterations would
+otherwise build a 100-deep plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iter: int = 100,
+    damping: float = DAMPING,
+    checkpoint_every: int = 10,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """→ (docid, pagerank). ``edges`` has (src, dst) long columns.
+
+    ``nodes`` optionally supplies the full vertex set (isolated vertices
+    included); by default vertices are those appearing in any edge.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("docid"))
+            .unionByName(edges.select(F.col("dst").alias("docid")))
+            .distinct()
+        )
+    nodes = nodes.persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    # contribution edges with 1/outdeg prebaked — loop-invariant
+    contrib_edges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).persist()
+
+    ranks = nodes.select("docid", F.lit(1.0).alias("pagerank"))
+    for i in range(num_iter):
+        msgs = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("docid", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pagerank") * F.col("w")).alias("msum"))
+        )
+        ranks = (
+            nodes.join(msgs.withColumnRenamed("dst", "docid"), "docid", "left")
+            .select(
+                "docid",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+                ).alias("pagerank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def combined_search(
+    scored: DataFrame,
+    ranks: DataFrame,
+    weight: float,
+    topk: int | None = 10,
+) -> DataFrame:
+    """Join (docid, score) with (docid, pagerank) → combined ranking.
+
+    Docs missing from the rank table contribute pagerank 0 (the reference
+    looks up a dense array by docid; ids outside the graph don't occur in
+    its corpus — 0 is the neutral generalization).
+    """
+    out = (
+        scored.join(ranks, "docid", "left")
+        .select(
+            "docid",
+            (
+                F.col("score")
+                + F.lit(weight) * F.coalesce(F.col("pagerank"), F.lit(0.0))
+            ).alias("combined"),
+            "score",
+        )
+        .orderBy(F.desc("combined"), F.asc("docid"))
+    )
+    return out.limit(topk) if topk is not None else out

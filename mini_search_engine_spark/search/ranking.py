@@ -1,0 +1,202 @@
+"""Ranked retrieval: reference TF-IDF and flagship BM25 (block-max pruned).
+
+TF-IDF replicates ``searchTfIdf`` (``InvertedIndexManager.java:1292-1489``)
+exactly, including its quirks (SURVEY.md §7.1):
+* idf has NO logarithm: ``idf = N / df`` (``:1312,1422``);
+* query weight ``q[t] = multiplicity(t in analyzed query) · N/df`` (``:1309-1314``);
+* per (distinct) matched query term: ``dot += tf·idf·q[t]``,
+  ``len += (tf·idf)²``; ``score = dot / sqrt(len)`` — cosine normalized
+  over QUERY terms only (``:1418-1436``);
+* ties broken by ascending docid (the reference heap leaves ties
+  unspecified; we pin them for determinism).
+
+BM25 (north_star, k1=1.2 b=0.75) uses the Lucene/ATIRE idf
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+``tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``; doc length comes from the ``dls``
+array denormalized into the postings at build time, so the only query-time
+state is a broadcast map of per-term df — no join against a doc-stats
+table.
+
+Block-max pruning (``bm25_topk(prune=True)``): blocks are docid-range
+aligned ACROSS terms (build.py), so for a range r the upper bound
+``UB(r) = Σ_t ub(t, r)`` bounds every doc in r. Phase 1 exactly scores the
+highest-UB ranges covering ≥ k candidates → threshold θ = k-th best exact
+score; phase 2 exactly scores only the remaining ranges with UB ≥ θ. Both
+phases are plain DataFrame plans ending in TakeOrderedAndProject — the
+distributed generalization of the reference's bounded heap
+(``:1293-1298``) and of Block-Max WAND's skip logic.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.analysis.udfs import analyze_query
+from mini_search_engine_spark.index.build import InvertedIndex
+
+K1 = 1.2
+B = 0.75
+
+
+def _empty_scored(index: InvertedIndex) -> DataFrame:
+    return (
+        index.postings.sparkSession.range(0)
+        .select(F.col("id").alias("docid"), F.lit(0.0).alias("score"))
+    )
+
+
+def _analyzed_with_counts(index: InvertedIndex, keywords: list[str]) -> Counter:
+    terms: list[str] = []
+    for k in keywords:
+        terms.extend(analyze_query(k, index.analyzer))
+    return Counter(terms)
+
+
+def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    rows = index.termstats.filter(F.col("term").isin(terms)).collect()
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _exploded(posts: DataFrame) -> DataFrame:
+    return posts.select(
+        "term",
+        F.explode(F.arrays_zip("docids", "tfs", "dls")).alias("z"),
+    ).select(
+        "term",
+        F.col("z.docids").alias("docid"),
+        F.col("z.tfs").alias("tf"),
+        F.col("z.dls").alias("dl"),
+    )
+
+
+def search_tfidf(
+    index: InvertedIndex, keywords: list[str], topk: int | None = 10
+) -> DataFrame:
+    """Reference-parity TF-IDF top-k → (docid, score) descending."""
+    counts = _analyzed_with_counts(index, keywords)
+    if not counts:
+        return _empty_scored(index)
+    terms = sorted(counts)
+    dfm = _df_map(index, terms)
+    n = index.n_docs
+    # term, query-weight, idf — tiny, broadcast
+    rows = [
+        (t, counts[t] * (n / dfm[t]), n / dfm[t]) for t in terms if dfm.get(t)
+    ]
+    if not rows:
+        return _empty_scored(index)
+    spark = index.postings.sparkSession
+    qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
+
+    scored = (
+        _exploded(index.decoded().postings.filter(F.col("term").isin(terms)))
+        .join(F.broadcast(qvec), "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .groupBy("docid")
+        .agg(
+            F.sum(F.col("tfidf") * F.col("qw")).alias("dot"),
+            F.sum(F.col("tfidf") * F.col("tfidf")).alias("len2"),
+        )
+        .select("docid", (F.col("dot") / F.sqrt(F.col("len2"))).alias("score"))
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(topk) if topk is not None else out
+
+
+def _bm25_idf(n: int, df: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _bm25_qvec(index: InvertedIndex, keywords: list[str]):
+    counts = _analyzed_with_counts(index, keywords)
+    if not counts:
+        return None
+    dfm = _df_map(index, sorted(counts))
+    rows = [
+        (t, float(counts[t]), _bm25_idf(index.n_docs, dfm[t]))
+        for t in sorted(counts)
+        if dfm.get(t)
+    ]
+    return rows or None
+
+
+def _bm25_score_expr(avgdl: float) -> F.Column:
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)
+    return F.col("qw") * F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
+
+
+def _bm25_exact(posts: DataFrame, qvec: DataFrame, avgdl: float) -> DataFrame:
+    return (
+        _exploded(posts)
+        .join(F.broadcast(qvec), "term")
+        .groupBy("docid")
+        .agg(F.sum(_bm25_score_expr(avgdl)).alias("score"))
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    keywords: list[str],
+    topk: int = 10,
+    prune: bool = False,
+) -> DataFrame:
+    """BM25 top-k → (docid, score) descending, ties by ascending docid."""
+    rows = _bm25_qvec(index, keywords)
+    if rows is None:
+        return _empty_scored(index)
+    spark = index.postings.sparkSession
+    qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
+    terms = [r[0] for r in rows]
+    posts = index.decoded().postings.filter(F.col("term").isin(terms))
+
+    if not prune:
+        return (
+            _bm25_exact(posts, qvec, index.avgdl)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(topk)
+        )
+
+    # ---- block-max pruning over docid-range-aligned blocks ----
+    idf = {t: i for t, _, i in rows}
+    qw = {t: w for t, w, _ in rows}
+    avgdl = index.avgdl
+    # ub(t, block): max_tf with the block's smallest dl — monotone bounds
+    bstats = posts.select("term", "block", "n", "max_tf", "min_dl").collect()
+    ub: dict[int, float] = {}
+    nb: dict[int, int] = {}
+    for r in bstats:
+        denom = r["max_tf"] + K1 * (1.0 - B + B * r["min_dl"] / avgdl)
+        u = qw[r["term"]] * idf[r["term"]] * r["max_tf"] * (K1 + 1.0) / denom
+        ub[r["block"]] = ub.get(r["block"], 0.0) + u
+        nb[r["block"]] = nb.get(r["block"], 0) + r["n"]
+    if not ub:
+        return _empty_scored(index)
+
+    ranked = sorted(ub.items(), key=lambda kv: -kv[1])
+    phase1: list[int] = []
+    cand = 0
+    for blk, _u in ranked:
+        phase1.append(blk)
+        cand += nb[blk]
+        if cand >= max(topk, 1):
+            break
+    p1 = _bm25_exact(posts.filter(F.col("block").isin(phase1)), qvec, avgdl)
+    top1 = p1.orderBy(F.desc("score"), F.asc("docid")).limit(topk).collect()
+    theta = top1[-1]["score"] if len(top1) >= topk else float("-inf")
+
+    survivors = [blk for blk, u in ranked if blk not in set(phase1) and u >= theta]
+    if not survivors:
+        return spark.createDataFrame(
+            [(r["docid"], r["score"]) for r in top1], "docid long, score double"
+        ).orderBy(F.desc("score"), F.asc("docid"))
+    p2 = _bm25_exact(posts.filter(F.col("block").isin(survivors)), qvec, avgdl)
+    merged = p2.unionByName(
+        spark.createDataFrame(
+            [(r["docid"], r["score"]) for r in top1], "docid long, score double"
+        )
+    )
+    return merged.orderBy(F.desc("score"), F.asc("docid")).limit(topk)

@@ -1,0 +1,82 @@
+"""Analyzer parity tests — goldens taken from the reference test suite
+(`src/test/java/edu/uci/ics/cs221/analysis/...`, see file:line cites)."""
+
+import pytest
+
+from mini_search_engine_spark.analysis import (
+    STOP_WORDS,
+    analyze,
+    naive_tokenize,
+    porter_stem,
+    punctuation_tokenize,
+    word_break_tokenize,
+)
+from mini_search_engine_spark.analysis.tokenizers import (
+    WordBreakError,
+    load_frequency_dict,
+)
+
+# PorterStemmerTest.java:20-120 golden sentences
+PORTER_GOLDENS = [
+    ("stemming is an important concept in computer science",
+     "stem is an import concept in comput scienc"),
+    ("clothes satisfactory wearing worn wore", "cloth satisfactori wear worn wore"),
+    ("Intellij IDEA is so popular among programmers that my friends Tom and Jerry both use it often.",
+     "Intellij IDEA is so popular among programm that my friend Tom and Jerri both us it often."),
+    ("how ever however", "how ever howev"),
+    ("I am writing to test the Stemmer. Turning in the final results of the applications is due this week",
+     "I am write to test the Stemmer. Turn in the final result of the applic is due thi week"),
+    ("information retrieval is the activity of obtaining information system resources relevant to an information need from a collection",
+     "inform retriev is the activ of obtain inform system resourc relev to an inform need from a collect"),
+    ("rate roll sky feed bled sing caress 1234", "rate roll sky feed bled sing caress 1234"),
+    ("caresses ponies cats", "caress poni cat"),
+]
+
+
+@pytest.mark.parametrize("original,expected", PORTER_GOLDENS)
+def test_porter_goldens(original, expected):
+    got = " ".join(porter_stem(t) for t in original.split())
+    assert got == expected
+
+
+def test_porter_short_words_pass_through():
+    # PorterStemmer.java:324 — k > k0+1 guard
+    for w in ["a", "is", "be", "ox", ""]:
+        assert porter_stem(w) == w
+
+
+def test_stopword_list_is_exactly_127():
+    assert len(STOP_WORDS) == 127
+    assert "the" in STOP_WORDS and "now" in STOP_WORDS and "don" in STOP_WORDS
+
+
+def test_punctuation_tokenizer_doc_example():
+    # PunctuationTokenizer.java:9 — documented example
+    assert punctuation_tokenize("I am Happy Today!") == ["happy", "today"]
+
+
+def test_punctuation_tokenizer_literal_caret_and_controls():
+    # the ^ inside the class is literal (PunctuationTokenizer.java:20)
+    assert punctuation_tokenize("up^down") == []  # both stopwords
+    assert punctuation_tokenize("cat^dog") == ["cat", "dog"]
+    assert punctuation_tokenize("cat\tdog\ncow\x0bfox") == ["cat", "dog", "cow", "fox"]
+    assert punctuation_tokenize("") == []
+    assert punctuation_tokenize(None) == []
+
+
+def test_naive_tokenizer():
+    assert naive_tokenize("The  Quick\tBrown") == ["the", "quick", "brown"]
+
+
+def test_composed_analyzer():
+    assert analyze("Stemming is an important Concept!") == ["stem", "import", "concept"]
+
+
+def test_word_break():
+    # WordBreakTokenizer.java:20-33 documented example semantics
+    d = load_frequency_dict(["a 10", "i 10", "ai 5", "cat 10", "and 10", "dog 10"])
+    assert word_break_tokenize("catanddog", d) == ["cat", "dog"]  # "and" is a stopword
+    assert word_break_tokenize("ai", d) == ["ai"]  # product 5/55 > (10/55)^2
+    with pytest.raises(WordBreakError):
+        word_break_tokenize("xyz", d)
+    assert word_break_tokenize("", d) == []

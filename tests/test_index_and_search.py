@@ -1,0 +1,188 @@
+"""Index build + boolean/phrase/ranked search vs hand-derivable goldens and
+the full-scan oracle (pattern of reference Team10MergeTest / Team6AndSearchTest /
+Team11PhraseSearchTest / Team2TfIdfTest)."""
+
+import math
+
+import pytest
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.index.build import build_index, read_index, write_index
+from mini_search_engine_spark.search import (
+    bm25_topk,
+    full_scan_search,
+    search_and,
+    search_keyword,
+    search_or,
+    search_phrase,
+    search_tfidf,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tiny_corpus):
+    return load_corpus(tiny_corpus).cache()
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_index(corpus, analyzer="porter", positional=True, block_span=4)
+
+
+def ids(df):
+    return [r["docid"] for r in df.collect()]
+
+
+def test_postings_golden(index):
+    # "cat" appears in docs 0,2,7; tf 2,1,4 — hand-derived
+    rows = index.decoded().postings.filter("term = 'cat'").collect()
+    got = sorted((d, t) for r in rows for d, t in zip(r["docids"], r["tfs"]))
+    assert got == [(0, 2), (2, 1), (7, 4)]
+    # blocking: docids 0,2 are block 0; docid 7 is block 1 (span 4)
+    assert sorted(r["block"] for r in rows) == [0, 1]
+
+
+def test_stats(index):
+    assert index.n_docs == 8
+    dfm = {r["term"]: r["df"] for r in index.termstats.collect()}
+    assert dfm["cat"] == 3 and dfm["dog"] == 5 and dfm["inform"] == 2
+    dls = {r["docid"]: r["dl"] for r in index.doclens.collect()}
+    # doc 2: "the cat and the dog" → stopwords removed → [cat, dog]
+    assert dls[2] == 2 and dls[6] == 0
+
+
+def test_keyword(index):
+    assert ids(search_keyword(index, "CATS!")) == [0, 2, 7]  # analyzed "cats"→"cat"
+    assert ids(search_keyword(index, "the")) == []  # stopword → empty
+
+
+def test_and_or(index, corpus):
+    assert ids(search_and(index, ["cat", "dog"])) == [0, 2, 7]
+    assert ids(search_and(index, ["cat", "retrieval"])) == []
+    assert ids(search_and(index, ["cat", "the"])) == []  # empty-analysis kw → empty
+    assert ids(search_or(index, ["cat", "retrieval"])) == [0, 1, 2, 3, 7]
+    # oracle cross-check
+    assert ids(search_and(index, ["quick", "fox"])) == ids(
+        full_scan_search(corpus, ["quick", "fox"])
+    )
+
+
+def test_phrase(index):
+    # "information retrieval" consecutive in docs 1 and 3
+    assert ids(search_phrase(index, "information retrieval")) == [1, 3]
+    assert ids(search_phrase(index, "retrieval information")) == []
+    # single-token phrase degenerates to keyword
+    assert ids(search_phrase(index, "fox")) == [5]
+    # stopwords vanish before adjacency: "cat and the dog" → [cat, dog] adjacent in doc 2?
+    # positions are post-analysis: doc 2 tokens = [cat, dog] → adjacent
+    assert 2 in ids(search_phrase(index, "cat dog"))
+
+
+def test_phrase_requires_positional(corpus):
+    idx = build_index(corpus, analyzer="porter", positional=False, block_span=4)
+    with pytest.raises(NotImplementedError):
+        search_phrase(idx, "information retrieval")
+
+
+def test_tfidf_reference_semantics(index):
+    # idf = N/df (no log); score = dot/sqrt(len) over query terms only
+    rows = search_tfidf(index, ["cat"], topk=None).collect()
+    # single-term query: score = tf*idf*q / sqrt((tf*idf)^2) = q = N/df — all equal
+    scores = {r["docid"]: r["score"] for r in rows}
+    assert set(scores) == {0, 2, 7}
+    expected = 8 / 3
+    for v in scores.values():
+        assert v == pytest.approx(expected)
+    # ties broken by ascending docid
+    assert [r["docid"] for r in rows] == [0, 2, 7]
+
+
+def test_tfidf_two_terms(index):
+    rows = search_tfidf(index, ["cat", "dog"], topk=3).collect()
+    # hand-computed: N=8, df(cat)=3, df(dog)=5; q = (8/3, 8/5)
+    def score(tfc, tfd):
+        dot = 0.0
+        ln = 0.0
+        if tfc:
+            w = tfc * 8 / 3
+            dot += w * 8 / 3
+            ln += w * w
+        if tfd:
+            w = tfd * 8 / 5
+            dot += w * 8 / 5
+            ln += w * w
+        return dot / math.sqrt(ln)
+
+    exp = {0: score(2, 1), 2: score(1, 1), 7: score(4, 1), 1: score(0, 1), 5: score(0, 2)}
+    best = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r["docid"], r["score"]) for r in rows]
+    for (ed, es), (gd, gs) in zip(best, got):
+        assert ed == gd and gs == pytest.approx(es)
+
+
+def bm25_oracle(docs_tokens, terms, k1=1.2, b=0.75):
+    """Plain-python BM25 oracle (north_rule rank-identity check)."""
+    n = len(docs_tokens)
+    dls = {d: len(t) for d, t in docs_tokens.items()}
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for t in set(terms):
+        qw = terms.count(t)
+        df = sum(1 for toks in docs_tokens.values() if t in toks)
+        if not df:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, toks in docs_tokens.items():
+            tf = toks.count(t)
+            if tf:
+                s = qw * idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_bm25_rank_identical_to_oracle(index, corpus, tiny_corpus):
+    from mini_search_engine_spark.analysis import analyze
+
+    docs_tokens = {
+        r["doc_id"]: analyze(r["text"]) for r in tiny_corpus.collect()
+    }
+    for query in (["cat"], ["cat", "dog"], ["information", "retrieval"], ["quick", "cat"]):
+        analyzed = [t for k in query for t in analyze(k)]
+        exp = bm25_oracle(docs_tokens, analyzed)[:5]
+        got = [(r["docid"], r["score"]) for r in bm25_topk(index, query, topk=5).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (query, got, exp)
+        for (_, es), (_, gs) in zip(exp, got):
+            assert gs == pytest.approx(es)
+
+
+def test_bm25_pruned_matches_exact(index):
+    for query in (["cat", "dog"], ["inform", "fox"], ["stem"]):
+        exact = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(index, query, topk=3).collect()]
+        pruned = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(index, query, topk=3, prune=True).collect()]
+        assert exact == pruned
+
+
+def test_compressed_roundtrip_index(corpus):
+    idx = build_index(corpus, analyzer="porter", block_span=4, compress=True)
+    rows = idx.decoded().postings.filter("term = 'cat'").collect()
+    got = sorted((d, t) for r in rows for d, t in zip(r["docids"], r["tfs"]))
+    assert got == [(0, 2), (2, 1), (7, 4)]
+    assert ids(bm25_topk(idx, ["cat"], topk=3)) == [7, 0, 2]
+
+
+def test_write_read_roundtrip(index, corpus, tmp_path, spark):
+    path = str(tmp_path / "idx")
+    write_index(index, path)
+    idx2 = read_index(spark, path)
+    assert idx2.n_docs == index.n_docs
+    assert idx2.avgdl == pytest.approx(index.avgdl)
+    assert ids(search_and(idx2, ["cat", "dog"])) == [0, 2, 7]
+    assert ids(search_phrase(idx2, "information retrieval")) == [1, 3]
+
+
+def test_sha_invariant(corpus, tiny_corpus):
+    import hashlib
+
+    got = {r["docid"]: r["sha"] for r in corpus.select("docid", "sha").collect()}
+    for r in tiny_corpus.collect():
+        assert got[r["doc_id"]] == hashlib.sha256(r["text"].encode()).hexdigest()
