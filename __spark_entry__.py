@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark DataFrame implementation (mini_search_engine_spark)
+with a DuckDB-equivalent ANSI SQL oracle. Hash parity notes:
+
+* the tokenizer used for oracle-checked search queries is the reference
+  PunctuationTokenizer WITHOUT stemming ("punct_nostem") — byte-identical
+  in Java-regex (Spark) and RE2 (DuckDB); the Porter path is covered by
+  pytest goldens instead (DuckDB can't stem).
+* 60-bit portable hashes: Spark ``conv(substring(md5(s),1,15),16,10)`` ==
+  DuckDB ``('0x' || substring(md5(s),1,15))::BIGINT``.
+* float columns are rounded to 6 decimals on BOTH sides and ordered by the
+  rounded value so top-k selection is deterministic.
 """
 
 from __future__ import annotations
@@ -12,27 +18,571 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.analysis.stopwords import STOP_WORDS_SORTED
+from mini_search_engine_spark.analysis.tokenizers import PUNCT_SPLIT_PATTERN
+from mini_search_engine_spark.corpus import load_documents
+from mini_search_engine_spark.index.build import build_index
+from mini_search_engine_spark.ops import (
+    cosine_topk,
+    exact_dedup,
+    fingerprints,
+    language_id,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+from mini_search_engine_spark.search import (
+    bm25_topk,
+    pagerank,
+    search_and,
+    search_keyword,
+    search_or,
+    search_phrase,
+    search_tfidf,
+)
+from mini_search_engine_spark.search.pagerank import combined_search
+
+ANALYZER = "punct_nostem"
+BLOCK_SPAN = 1 << 16
+
+_STOPLIST_SQL = ", ".join(f"''{w}''" for w in [])  # placeholder, built below
+_STOP_IN = ", ".join(f"'{w}'" for w in STOP_WORDS_SORTED)
+
+# tokenized documents fragment (shared by many oracles) — replicates
+# PunctuationTokenizer exactly: trim → lower → regex split → drop '' → drop stopwords
+_TL = f"""
+tl AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(trim(text)), '{PUNCT_SPLIT_PATTERN}'),
+           x -> x <> '' AND x NOT IN ({_STOP_IN})
+         ) AS toks
+  FROM documents
+)"""
+
+_TOK = _TL + """,
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl)"""
+
+_WS = """
+wtl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+def _index(spark: SparkSession, sf_dir: str, positional: bool = False):
+    docs = load_documents(spark, sf_dir)
+    return build_index(docs, analyzer=ANALYZER, positional=positional, block_span=BLOCK_SPAN)
+
+
+def _round_score(df: DataFrame, col: str = "score", k: int | None = None) -> DataFrame:
+    out = df.withColumn(col, F.round(F.col(col), 6)).orderBy(
+        F.desc(col), F.asc("docid")
+    )
+    return out.limit(k) if k is not None else out
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_keyword(spark, sf_dir):
+    return search_keyword(_index(spark, sf_dir), "spark")
+
+
+def q_and(spark, sf_dir):
+    return search_and(_index(spark, sf_dir), ["spark", "merge"])
+
+
+def q_or(spark, sf_dir):
+    return search_or(_index(spark, sf_dir), ["vector", "window"])
+
+
+def q_phrase(spark, sf_dir):
+    return search_phrase(_index(spark, sf_dir, positional=True), "batch batch")
+
+
+def q_tfidf(spark, sf_dir):
+    return _round_score(
+        search_tfidf(_index(spark, sf_dir), ["spark", "merge"], topk=None), k=10
+    )
+
+
+def q_bm25(spark, sf_dir):
+    # widen before rounding+re-limiting so rounded ties resolve by docid
+    raw = bm25_topk(_index(spark, sf_dir), ["spark", "merge"], topk=50)
+    return _round_score(raw, k=10)
+
+
+def q_bm25_pruned(spark, sf_dir):
+    raw = bm25_topk(
+        _index(spark, sf_dir), ["filter", "join", "scan"], topk=50, prune=True
+    )
+    return _round_score(raw, k=10)
+
+
+def q_term_df(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.termstats.select("term", "df")
+
+
+def q_doclens(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.doclens.select("docid", F.col("dl").cast("long").alias("dl"))
+
+
+def q_postings_blocks(spark, sf_dir):
+    """Codec roundtrip + blocking check: build compressed, decode, emit block stats."""
+    docs = load_documents(spark, sf_dir)
+    idx = build_index(docs, analyzer=ANALYZER, block_span=BLOCK_SPAN, compress=True)
+    return idx.decoded().postings.select(
+        "term", "block", F.size("docids").cast("long").alias("n")
+    )
+
+
+def _edges(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    return (
+        docs.select(F.col("docid").alias("src"), ((F.col("docid") * 7 + 3) % n).alias("dst"))
+        .unionByName(
+            docs.select(
+                F.col("docid").alias("src"), ((F.col("docid") * 13 + 5) % n).alias("dst")
+            )
+        )
+    ), docs.select("docid")
+
+
+def q_pagerank(spark, sf_dir):
+    edges, nodes = _edges(spark, sf_dir)
+    pr = pagerank(edges, num_iter=5, nodes=nodes)
+    return pr.select("docid", F.round("pagerank", 6).alias("pagerank")).orderBy("docid")
+
+
+def q_combined(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    scored = search_tfidf(idx, ["spark"], topk=None)
+    edges, nodes = _edges(spark, sf_dir)
+    pr = pagerank(edges, num_iter=5, nodes=nodes)
+    out = combined_search(scored, pr, weight=1.0, topk=None)
+    return (
+        out.withColumn("combined", F.round("combined", 6))
+        .select("docid", "combined")
+        .orderBy(F.desc("combined"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_documents(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    sigs = minhash_signatures(load_documents(spark, sf_dir))
+    return sigs.select("docid", F.posexplode("sig").alias("j", "minhash"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_candidate_pairs(load_documents(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(load_documents(spark, sf_dir))
+
+
+def q_jaccard(spark, sf_dir):
+    out = ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.2)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = cosine_topk(emb, list(q), k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
+def q_langid(spark, sf_dir):
+    return language_id(load_documents(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_scores(load_documents(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(load_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprints(load_documents(spark, sf_dir))
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_relational_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
+    return q_bm25(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "keyword_search": q_keyword,
+        "and_search": q_and,
+        "or_search": q_or,
+        "phrase_search": q_phrase,
+        "tfidf_topk": q_tfidf,
+        "bm25_topk": q_bm25,
+        "bm25_topk_pruned": q_bm25_pruned,
+        "term_df": q_term_df,
+        "doclens": q_doclens,
+        "postings_blocks": q_postings_blocks,
+        "pagerank": q_pagerank,
+        "combined_rank": q_combined,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "language_id": q_langid,
+        "quality_scores": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "events_window": q_events_window,
+        "relational_agg": q_relational_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _hash60(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_SHINGLES = _WS + """,
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM wtl
+),
+shx AS (SELECT doc_id, unnest(shs) AS sh FROM shl)"""
+
+_MINHASH = _SHINGLES + f""",
+js AS (SELECT unnest(range(16)) AS j),
+mh AS (
+  SELECT doc_id, j, min({_hash60("j::VARCHAR || '|' || sh")}) AS minhash
+  FROM shx CROSS JOIN js
+  GROUP BY doc_id, j
+)"""
+
+_BANDS = _MINHASH + f""",
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         {_hash60("string_agg(minhash::VARCHAR, ',' ORDER BY j)")} AS band_key
+  FROM mh GROUP BY doc_id, j // 2
+)"""
+
+_PAIRS = _BANDS + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS docid_a, b.doc_id AS docid_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _edges_sql() -> str:
+    return """
+nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % c AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 5) % c AS dst FROM documents, nn
+),
+odeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)"""
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    parts = [_edges_sql(), ",\nr0 AS (SELECT doc_id AS id, 1.0::DOUBLE AS pr FROM documents)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT d.doc_id AS id,
+         0.15 + 0.85 * coalesce(s.m, 0.0) AS pr
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst, sum(r{i-1}.pr / odeg.od) AS m
+    FROM e JOIN r{i-1} ON e.src = r{i-1}.id JOIN odeg ON odeg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)"""
+        )
+    return "WITH " + "".join(parts)
+
+
+_TFIDF_CORE = f"""{_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(term, mult) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+contrib AS (
+  SELECT tf.doc_id,
+         tf.tf * (nn.n / dfreq.df) AS tfidf,
+         q.mult * (nn.n / dfreq.df) AS qw
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN nn
+),
+s AS (SELECT doc_id, sum(tfidf * qw) AS dot, sum(tfidf * tfidf) AS len2
+      FROM contrib GROUP BY doc_id)"""
+
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    vals = ", ".join(f"('{t}', 1.0)" for t in terms)
+    return f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term, qw) AS (VALUES {vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["keyword_search"] = f"""WITH {_TOK}
+SELECT DISTINCT doc_id AS docid FROM tok WHERE term = 'spark' ORDER BY docid"""
+
+    sqls["and_search"] = f"""WITH {_TOK}
+SELECT doc_id AS docid FROM tok WHERE term IN ('spark', 'merge')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
+
+    sqls["or_search"] = f"""WITH {_TOK}
+SELECT DISTINCT doc_id AS docid FROM tok WHERE term IN ('vector', 'window') ORDER BY docid"""
+
+    sqls["phrase_search"] = f"""WITH {_TL},
+p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT DISTINCT a.doc_id AS docid
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'batch' AND b.term = 'batch' ORDER BY docid"""
+
+    sqls["tfidf_topk"] = f"""WITH {_TFIDF_CORE}
+SELECT doc_id AS docid, round(dot / sqrt(len2), 6) AS score
+FROM s ORDER BY round(dot / sqrt(len2), 6) DESC, docid LIMIT 10"""
+
+    sqls["bm25_topk"] = _bm25_sql(["spark", "merge"])
+    sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
+
+    sqls["term_df"] = f"""WITH {_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term"""
+
+    sqls["doclens"] = f"""WITH {_TL}
+SELECT doc_id AS docid, len(toks)::BIGINT AS dl FROM tl"""
+
+    sqls["postings_blocks"] = f"""WITH {_TOK}
+SELECT term, doc_id // {BLOCK_SPAN} AS block, count(DISTINCT doc_id)::BIGINT AS n
+FROM tok GROUP BY term, doc_id // {BLOCK_SPAN}"""
+
+    sqls["pagerank"] = (
+        _pagerank_sql(5)
+        + "\nSELECT id AS docid, round(pr, 6) AS pagerank FROM r5 ORDER BY docid"
+    )
+
+    # combined = tfidf(spark) + 1.0 * pagerank (5 iters)
+    tfidf_one = f"""{_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn2 AS (SELECT count(*)::DOUBLE AS n FROM documents),
+contrib AS (
+  SELECT tf.doc_id, tf.tf * (nn2.n / dfreq.df) AS tfidf, (nn2.n / dfreq.df) AS qw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn2 WHERE tf.term = 'spark'
+),
+s AS (SELECT doc_id, sum(tfidf * qw) / sqrt(sum(tfidf * tfidf)) AS score
+      FROM contrib GROUP BY doc_id)"""
+    sqls["combined_rank"] = (
+        _pagerank_sql(5)
+        + ",\n"
+        + tfidf_one
+        + """
+SELECT s.doc_id AS docid, round(s.score + 1.0 * r5.pr, 6) AS combined
+FROM s JOIN r5 ON r5.id = s.doc_id
+ORDER BY round(s.score + 1.0 * r5.pr, 6) DESC, docid LIMIT 10"""
+    )
+
+    sqls["dedup_exact"] = """
+SELECT sha256(text) AS sha, count(*)::BIGINT AS n_dups, min(doc_id) AS canonical_docid
+FROM documents GROUP BY sha256(text)"""
+
+    sqls["minhash_signatures"] = (
+        "WITH " + _MINHASH + "\nSELECT doc_id AS docid, j::INT AS j, minhash FROM mh"
+    )
+
+    sqls["minhash_pairs"] = "WITH " + _PAIRS + "\nSELECT docid_a, docid_b FROM pairs"
+
+    sqls["simhash"] = f"""WITH {_WS},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM wtl),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, tok),
+th AS (SELECT doc_id, tf, {_hash60("tok")} AS h FROM tf),
+bits AS (SELECT unnest(range(60)) AS b),
+w AS (SELECT doc_id, b, tf * (((h >> b) & 1) * 2 - 1) AS w FROM th CROSS JOIN bits),
+bs AS (SELECT doc_id, b, sum(w) AS s FROM w GROUP BY doc_id, b)
+SELECT doc_id AS docid,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bs GROUP BY doc_id"""
+
+    sqls["ngram_jaccard"] = (
+        "WITH "
+        + _PAIRS
+        + """,
+dsh AS (SELECT DISTINCT doc_id, sh FROM shx),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT p.docid_a, p.docid_b, count(*)::BIGINT AS n_common
+  FROM pairs p
+  JOIN dsh a ON a.doc_id = p.docid_a
+  JOIN dsh b ON b.doc_id = p.docid_b AND b.sh = a.sh
+  GROUP BY p.docid_a, p.docid_b
+)
+SELECT c.docid_a, c.docid_b,
+       round(n_common::DOUBLE / (sa.nsh + sb.nsh - n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.docid_a
+JOIN sizes sb ON sb.doc_id = c.docid_b
+WHERE n_common::DOUBLE / (sa.nsh + sb.nsh - n_common) >= 0.2"""
+    )
+
+    sqls["ann_cosine"] = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+d AS (
+  SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS n2, sum(q.qv * q.qv) AS q2
+  FROM e JOIN q USING (i) GROUP BY e.vec_id
+)
+SELECT vec_id, round(dot / (sqrt(n2) * sqrt(q2)), 6) AS cosine
+FROM d ORDER BY round(dot / (sqrt(n2) * sqrt(q2)), 6) DESC, vec_id LIMIT 10"""
+
+    sqls["language_id"] = f"""WITH {_WS},
+st AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop
+  FROM wtl
+),
+r AS (
+  SELECT d.doc_id,
+         CASE WHEN st.n > 0 THEN st.n_stop::DOUBLE / st.n ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[\\x00-\\x7F]', '', 'g'))::DOUBLE / length(d.text)
+              ELSE 0.0 END AS na_ratio
+  FROM documents d JOIN st ON st.doc_id = d.doc_id
+)
+SELECT doc_id AS docid,
+       CASE WHEN stop_ratio >= 0.15 THEN 'en'
+            WHEN na_ratio >= 0.05 THEN 'other'
+            ELSE 'code' END AS lang_guess
+FROM r"""
+
+    sqls["quality_scores"] = f"""WITH {_WS},
+b AS (
+  SELECT d.doc_id, wtl.toks, d.text,
+         len(wtl.toks) AS n,
+         len(list_filter(wtl.toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id
+),
+m AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN length(array_to_string(toks, ''))::DOUBLE / n ELSE 0.0 END AS mean_len,
+         CASE WHEN n > 0 THEN n_stop::DOUBLE / n ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0.0 END AS alpha_ratio
+  FROM b
+)
+SELECT doc_id AS docid, n::BIGINT AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END), 6) AS quality
+FROM m"""
+
+    sqls["token_counts"] = f"""WITH {_WS}
+SELECT d.doc_id AS docid,
+       len(wtl.toks)::BIGINT AS ws_tokens,
+       len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
+       length(d.text)::BIGINT AS n_chars_seen
+FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id"""
+
+    sqls["fingerprint"] = f"""
+SELECT doc_id AS docid,
+       list_min([{_hash60("substring(text, i, 5)")}
+                 for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS fingerprint
+FROM documents"""
+
+    sqls["events_window"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+    sqls["relational_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    return sqls

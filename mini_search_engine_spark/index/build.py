@@ -67,19 +67,24 @@ class InvertedIndex:
 def tokenize_docs(
     docs: DataFrame, analyzer: str = "porter", positional: bool = False
 ) -> DataFrame:
-    """corpus → (docid, term, tf[, positions]) via one explode + hash agg.
+    """corpus → (docid, term, tf, dl[, positions]) via ONE analyze pass.
 
     Token positions are 0-based indices into the analyzed stream, matching
     ``utils/Utils.java:186-201``; tf = raw occurrence count
-    (``InvertedIndexManager.java:196-209``). One pass yields both.
+    (``InvertedIndexManager.java:196-209``). The doc length ``dl`` is
+    computed BEFORE the explode and carried through it, so BM25 norms cost
+    no second analyzer pass and no doclens join.
     """
-    toks = docs.select(
-        "docid", F.posexplode(analyze_col(F.col("content"), analyzer)).alias("pos", "term")
+    toks = docs.select("docid", analyze_col(F.col("content"), analyzer).alias("toks"))
+    tokd = toks.select(
+        "docid",
+        F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
     )
-    aggs = [F.count("*").cast("int").alias("tf")]
+    aggs = [F.count("*").cast("int").alias("tf"), F.max("dl").cast("int").alias("dl")]
     if positional:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return toks.groupBy("term", "docid").agg(*aggs)
+    return tokd.groupBy("term", "docid").agg(*aggs)
 
 
 def doc_lengths(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
@@ -103,11 +108,10 @@ def build_index(
     (term, block). Per-block ``ub`` (BM25 upper bound from max_tf) is
     precomputed for query-time block pruning.
     """
-    doclens = doc_lengths(docs, analyzer=analyzer)
-    tf = tokenize_docs(docs, analyzer=analyzer, positional=positional)
-    # Denormalize dl into the postings (Lucene-norms style): BM25 then needs
-    # no query-time join against doclens — only broadcast scalars/df.
-    tf = tf.join(doclens, "docid")
+    # One analyzer pass: tf carries dl (Lucene-norms style denormalization),
+    # so BM25 needs no query-time doclens join — only broadcast scalars/df.
+    # Persisted: postings, doclens and the stats action all reuse it.
+    tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).persist()
     blocked = tf.withColumn("block", (F.col("docid") / block_span).cast("long"))
 
     plist_fields = [F.col("docid"), F.col("tf"), F.col("dl")]
@@ -146,10 +150,15 @@ def build_index(
             .withColumn("dls_bytes", C.varint_encode_udf("dls"))
             .drop("docids", "tfs", "dls")
         )
-    stats_row = docs.agg(F.count("*").alias("n")).collect()[0]
-    n_docs = stats_row["n"]
-    avgdl_row = doclens.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"] or 0.0)
+    postings = postings.persist()
+
+    # doclens derived from the cached tf (no second analyzer pass); docs
+    # with zero tokens are restored with dl=0 via a left join on the corpus.
+    dl_nonzero = tf.groupBy("docid").agg(F.max("dl").alias("dl"))
+    doclens = docs.select("docid").join(dl_nonzero, "docid", "left").na.fill(0, ["dl"])
+    n_docs = docs.count()
+    total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
 
@@ -158,7 +167,7 @@ def build_index(
         doclens=doclens,
         termstats=termstats,
         n_docs=int(n_docs),
-        avgdl=avgdl,
+        avgdl=float(avgdl),
         analyzer=analyzer,
         block_span=block_span,
         positional=positional,

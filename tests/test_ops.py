@@ -1,0 +1,151 @@
+"""Tests for training-data ops: dedup, ANN, text stats, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.ops import (
+    cosine_topk,
+    exact_dedup,
+    lsh_cosine_topk,
+    fingerprints,
+    language_id,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    token_counts,
+)
+from mini_search_engine_spark.ops.multimodal import (
+    extract_features,
+    fake_decoder,
+    real_decoder_stub,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "t", 0),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "t", 0),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en", "t", 0),  # near dup
+        (3, "completely different content about spark indexes", "en", "t", 0),
+        (4, "another unrelated doc мир", "xx", "t", 0),
+    ]
+    return load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+
+
+def test_exact_dedup(dup_corpus):
+    rows = exact_dedup(dup_corpus).collect()
+    by_canon = {r["canonical_docid"]: r["n_dups"] for r in rows}
+    assert by_canon[0] == 2  # docs 0,1 identical
+    assert len(rows) == 4
+
+
+def test_minhash_identical_docs_share_all_bands(dup_corpus):
+    sigs = {r["docid"]: r["sig"] for r in minhash_signatures(dup_corpus).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    pairs = {(r["docid_a"], r["docid_b"]) for r in minhash_candidate_pairs(dup_corpus).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard(dup_corpus):
+    rows = ngram_jaccard_pairs(dup_corpus, threshold=0.3, band_size=2).collect()
+    vals = {(r["docid_a"], r["docid_b"]): r["jaccard"] for r in rows}
+    assert vals[(0, 1)] == pytest.approx(1.0)
+    # docs 0 and 2 differ in the last word: 7 shingles each, 6 common
+    if (0, 2) in vals:
+        assert vals[(0, 2)] == pytest.approx(6 / 8)
+
+
+def test_simhash_similarity(dup_corpus):
+    sh = {r["docid"]: r["simhash"] for r in simhash(dup_corpus).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham < ham_far
+    assert all(v >= 0 for v in sh.values())
+
+
+def test_token_counts_and_quality(dup_corpus):
+    tc = {r["docid"]: r for r in token_counts(dup_corpus).collect()}
+    assert tc[0]["ws_tokens"] == 9
+    assert tc[0]["bpe_tokens"] == 9  # no digits/symbols
+    q = {r["docid"]: r for r in quality_scores(dup_corpus).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["stopword_ratio"] == pytest.approx(3 / 9, abs=1e-6)
+
+
+def test_language_id(dup_corpus):
+    lg = {r["docid"]: r["lang_guess"] for r in language_id(dup_corpus).collect()}
+    assert lg[0] == "en"
+    assert lg[4] in ("other", "en")  # has non-ascii
+    assert lg[3] in ("en", "code")
+
+
+def test_fingerprints_deterministic(dup_corpus):
+    f1 = {r["docid"]: r["fingerprint"] for r in fingerprints(dup_corpus).collect()}
+    f2 = {r["docid"]: r["fingerprint"] for r in fingerprints(dup_corpus).collect()}
+    assert f1 == f2
+    assert f1[0] == f1[1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_vs_python(vectors):
+    rows = vectors.limit(50).collect()
+    q = list(rows[0]["embedding"])
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(vectors, q, k=5).collect()]
+    # python oracle over all vectors
+    allv = vectors.collect()
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    exp = sorted(
+        ((r["vec_id"], cos(r["embedding"], q)) for r in allv),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert got[0][0] == rows[0]["vec_id"] and got[0][1] == pytest.approx(1.0)
+    for (_, e), (_, g) in zip(exp, got):
+        assert g == pytest.approx(e, rel=1e-9)
+
+
+def test_lsh_cosine_contains_self(vectors):
+    rows = vectors.limit(1).collect()
+    q = list(rows[0]["embedding"])
+    got = [r["vec_id"] for r in lsh_cosine_topk(vectors, q, k=5).collect()]
+    assert rows[0]["vec_id"] in got
+
+
+def test_multimodal_plumbing(dup_corpus):
+    media = synthesize_media(dup_corpus)
+    feats = extract_features(media, decoder=fake_decoder).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert r["payload_bytes"] > 0
+    with pytest.raises(NotImplementedError):
+        real_decoder_stub(b"x", "image")
+    # payload sha matches corpus sha (payload = utf-8 content)
+    shas = {r["docid"]: r["sha"] for r in dup_corpus.select("docid", "sha").collect()}
+    for r in feats:
+        assert r["payload_sha"] == shas[r["docid"]]

@@ -1,0 +1,57 @@
+"""PageRank parity vs a plain-python oracle implementing the reference
+formula (IcsSearchEngine.java:116-174): score = (1-d) + d·Σ prev(u)/outdeg(u),
+init 1.0, no dangling redistribution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.search.pagerank import combined_search, pagerank
+
+
+def python_pagerank(edges, num_iter, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    fwd = {}
+    for s, t in edges:
+        fwd.setdefault(s, []).append(t)
+    scores = {n: 1.0 for n in nodes}
+    for _ in range(num_iter):
+        nxt = {n: 1 - d for n in nodes}
+        for s, ts in fwd.items():
+            share = scores[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        scores = nxt
+    return scores
+
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (5, 4)]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_pagerank_matches_oracle(edges_df):
+    got = {r["docid"]: r["pagerank"] for r in pagerank(edges_df, num_iter=20).collect()}
+    exp = python_pagerank(EDGES, 20)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n] == pytest.approx(exp[n], rel=1e-9)
+    # hub node 2 should dominate; leaf 3 gets (1-d)
+    assert got[2] == max(got.values())
+    assert got[3] == pytest.approx(0.15)
+
+
+def test_combined_search(spark, edges_df):
+    scored = spark.createDataFrame(
+        [(0, 1.0), (2, 1.0), (3, 5.0)], "docid long, score double"
+    )
+    ranks = pagerank(edges_df, num_iter=20)
+    # weight 0 → pure score ranking (IcsSearchEngineTest.java:121-136 pattern)
+    got0 = [r["docid"] for r in combined_search(scored, ranks, 0.0, 3).collect()]
+    assert got0 == [3, 0, 2]
+    # large weight → pagerank dominates among equal scores
+    got = [r["docid"] for r in combined_search(scored, ranks, 100.0, 3).collect()]
+    assert got[0] == 2  # hub

@@ -1,0 +1,106 @@
+"""Structured Streaming ingest: per-batch segments, resume via checkpoint,
+segmented index == full-build index; watermarked window agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.index.build import build_index
+from mini_search_engine_spark.search import bm25_topk, search_and
+from mini_search_engine_spark.streaming import (
+    compact_segments,
+    ingest_stream,
+    read_segmented_index,
+    windowed_event_counts,
+)
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _rows(lo, hi):
+    return [(i, f"alpha word{i % 4} beta common", "en", "t", 0) for i in range(lo, hi)]
+
+
+def test_stream_ingest_and_resume(spark, tmp_path):
+    inp = str(tmp_path / "incoming")
+    idxp = str(tmp_path / "stream_idx")
+
+    spark.createDataFrame(_rows(0, 20), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest_stream(spark, inp, idxp, SCHEMA, analyzer="porter", block_span=8)
+    q.awaitTermination(120)
+
+    # more files arrive; a new run picks up ONLY the new ones (checkpoint)
+    spark.createDataFrame(_rows(20, 30), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q2 = ingest_stream(spark, inp, idxp, SCHEMA, analyzer="porter", block_span=8)
+    q2.awaitTermination(120)
+
+    seg_idx = read_segmented_index(spark, idxp, block_span=8)
+    assert seg_idx.n_docs == 30
+
+    full = build_index(
+        load_corpus(spark.createDataFrame(_rows(0, 30), SCHEMA)),
+        analyzer="porter",
+        block_span=8,
+    )
+
+    def hits(idx):
+        return [r["docid"] for r in search_and(idx, ["alpha", "word1"]).collect()]
+
+    assert hits(seg_idx) == hits(full)
+    got_s = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(seg_idx, ["word2"], 5).collect()]
+    got_f = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(full, ["word2"], 5).collect()]
+    assert got_s == got_f
+
+    compacted = compact_segments(seg_idx)
+    assert hits(compacted) == hits(full)
+    # compaction actually reduced (term, block) row count vs segments
+    assert compacted.postings.count() <= seg_idx.postings.count()
+
+
+def test_windowed_event_counts_batch_parity(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = windowed_event_counts(ev, window="1 hour")
+    exp = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    g = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6)) for r in exp.collect()}
+    assert g == e
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
+    # run the same agg as an availableNow stream over the events parquet
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = ev_batch.schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}")
+    # restrict to events.parquet via pathGlobFilter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows older than the watermark; at least the
+    # early windows must match the batch computation
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from ev_win").collect()
+    }
+    exp_df = windowed_event_counts(ev_batch, window="1 hour")
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in exp_df.collect()
+    }
+    assert got, "streaming produced no closed windows"
+    for k, v in got.items():
+        assert exp[k] == v
