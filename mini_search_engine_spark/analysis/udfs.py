@@ -69,6 +69,38 @@ def analyze_col(col: Column, analyzer: str = "porter") -> Column:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {sorted(ANALYZERS)}")
 
 
+def word_break_col(col: Column, prob_dict: dict[str, float], spark=None) -> Column:
+    """WordBreakTokenizer as an Arrow UDF with a broadcast dictionary
+    (reference loads an 82k-entry frequency dict,
+    ``WordBreakTokenizer.java:55-62``; the dict here is caller-supplied —
+    any ``word freq`` source parsed by ``load_frequency_dict``).
+    Unbreakable strings yield NULL (the reference throws; a distributed
+    scan surfaces failures as rows to inspect, not task aborts)."""
+    from pyspark.sql import SparkSession
+
+    from mini_search_engine_spark.analysis.tokenizers import (
+        WordBreakError,
+        word_break_tokenize,
+    )
+
+    sc = (spark or SparkSession.getActiveSession()).sparkContext
+    bdict = sc.broadcast(prob_dict)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _wb(texts: pd.Series) -> pd.Series:
+        d = bdict.value
+
+        def run(t):
+            try:
+                return word_break_tokenize(t, d)
+            except WordBreakError:
+                return None
+
+        return texts.map(run)
+
+    return _wb(col)
+
+
 def analyze_query(text: str, analyzer: str = "porter") -> list[str]:
     """Driver-side query analysis with semantics identical to analyze_col."""
     if analyzer == "porter":

@@ -57,9 +57,13 @@ class InvertedIndex:
         if not self.compressed:
             return self
         p = (
-            self.postings.withColumn("docids", C.delta_varint_decode_udf("docids_bytes"))
-            .withColumn("tfs", C.varint_decode_int_udf("tfs_bytes"))
-            .withColumn("dls", C.varint_decode_int_udf("dls_bytes"))
+            self.postings.withColumn(
+                "_dec", C.decode_block_udf("docids_bytes", "tfs_bytes", "dls_bytes")
+            )
+            .withColumn("docids", F.col("_dec.docids"))
+            .withColumn("tfs", F.col("_dec.tfs"))
+            .withColumn("dls", F.col("_dec.dls"))
+            .drop("_dec")
         )
         return replace(self, postings=p, compressed=False)
 
@@ -145,10 +149,11 @@ def build_index(
 
     if compress:
         postings = (
-            postings.withColumn("docids_bytes", C.delta_varint_encode_udf("docids"))
-            .withColumn("tfs_bytes", C.varint_encode_udf("tfs"))
-            .withColumn("dls_bytes", C.varint_encode_udf("dls"))
-            .drop("docids", "tfs", "dls")
+            postings.withColumn("_enc", C.encode_block_udf("docids", "tfs", "dls"))
+            .withColumn("docids_bytes", F.col("_enc.docids_bytes"))
+            .withColumn("tfs_bytes", F.col("_enc.tfs_bytes"))
+            .withColumn("dls_bytes", F.col("_enc.dls_bytes"))
+            .drop("docids", "tfs", "dls", "_enc")
         )
     postings = postings.persist()
 

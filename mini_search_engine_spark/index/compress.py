@@ -22,7 +22,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 # --------------------------- scalar/numpy kernels ---------------------------
@@ -145,3 +152,45 @@ def varint_decode_int_udf(bufs: pd.Series) -> pd.Series:
 
 def encoded_size(col: Column) -> Column:
     return F.octet_length(col)
+
+
+# Combined block codec: one Arrow round-trip instead of three.
+
+_ENC_SCHEMA = StructType(
+    [
+        StructField("docids_bytes", BinaryType()),
+        StructField("tfs_bytes", BinaryType()),
+        StructField("dls_bytes", BinaryType()),
+    ]
+)
+_DEC_SCHEMA = StructType(
+    [
+        StructField("docids", ArrayType(LongType())),
+        StructField("tfs", ArrayType(IntegerType())),
+        StructField("dls", ArrayType(IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_ENC_SCHEMA)
+def encode_block_udf(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "docids_bytes": docids.map(delta_varint_encode),
+            "tfs_bytes": tfs.map(varint_encode),
+            "dls_bytes": dls.map(varint_encode),
+        }
+    )
+
+
+@F.pandas_udf(_DEC_SCHEMA)
+def decode_block_udf(
+    docids_bytes: pd.Series, tfs_bytes: pd.Series, dls_bytes: pd.Series
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "docids": docids_bytes.map(lambda b: delta_varint_decode(b).tolist()),
+            "tfs": tfs_bytes.map(lambda b: varint_decode(b).astype("int32").tolist()),
+            "dls": dls_bytes.map(lambda b: varint_decode(b).astype("int32").tolist()),
+        }
+    )

@@ -105,7 +105,9 @@ def minhash_candidate_pairs(
     content_col: str = "content",
 ) -> DataFrame:
     """→ (docid_a, docid_b) distinct pairs (a < b) sharing ≥1 LSH band."""
-    bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col)
+    # persist: the self-join would otherwise recompute the full
+    # shingle→minhash lineage for BOTH sides
+    bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col).persist()
     a = bands.select("band", "band_key", F.col("docid").alias("docid_a"))
     b = bands.select("band", "band_key", F.col("docid").alias("docid_b"))
     return (
@@ -160,10 +162,10 @@ def ngram_jaccard_pairs(
     candidates so no O(n²) blowup; ``|A ∩ B|`` via a groupBy over the
     exploded shingle join, ``|A ∪ B| = |A|+|B|-|A∩B|``.
     """
-    cands = minhash_candidate_pairs(docs, num_hashes, band_size, shingle_k, content_col)
+    cands = minhash_candidate_pairs(docs, num_hashes, band_size, shingle_k, content_col).persist()
     sh = docs.select(
         "docid", F.explode(F.array_distinct(shingles(F.col(content_col), shingle_k))).alias("sh")
-    )
+    ).persist()
     sizes = sh.groupBy("docid").agg(F.count("*").alias("nsh"))
     # |A ∩ B| per candidate pair via join on the shingle value
     common = (
