@@ -51,10 +51,12 @@ def _make_analyze_pandas(tokenizer: str, stem: bool):
     return _analyze
 
 
+_ANALYZE_PORTER = _make_analyze_pandas("punctuation", True)
+
 # name -> Column -> Column producing array<string> tokens
 ANALYZERS: dict[str, Callable[[Column], Column]] = {
     # flagship: reference ComposableAnalyzer(PunctuationTokenizer, PorterStemmer)
-    "porter": lambda c: _make_analyze_pandas("punctuation", True)(c),
+    "porter": lambda c: _ANALYZE_PORTER(c),
     # tokenizer-only (native, codegen) — used for DuckDB-oracle parity queries
     "punct_nostem": _punct_tokens_native,
     # reference NaiveAnalyzer (native)

@@ -149,7 +149,7 @@ def synthesize_source_corpus(
             ids = pdf["id"].tolist()
             rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
             for i in ids:
-                rng = random.Random((seed_b, i))
+                rng = random.Random(seed_b * 1_000_003 + i)
                 repo_i = i % n_repos_b
                 repo = f"org/proj{repo_i}"
                 lang = _LANGS[rng.randrange(len(_LANGS))]

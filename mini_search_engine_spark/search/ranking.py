@@ -161,42 +161,58 @@ def bm25_topk(
         )
 
     # ---- block-max pruning over docid-range-aligned blocks ----
-    idf = {t: i for t, _, i in rows}
-    qw = {t: w for t, w, _ in rows}
+    # Distributed throughout: per-range upper bounds are a DataFrame agg
+    # over BLOCK-LEVEL stats (no posting arrays touched); only the top few
+    # ranges needed to seed θ are ever collected (≤ a few hundred rows,
+    # independent of corpus size).
     avgdl = index.avgdl
-    # ub(t, block): max_tf with the block's smallest dl — monotone bounds
-    bstats = posts.select("term", "block", "n", "max_tf", "min_dl").collect()
-    ub: dict[int, float] = {}
-    nb: dict[int, int] = {}
-    for r in bstats:
-        denom = r["max_tf"] + K1 * (1.0 - B + B * r["min_dl"] / avgdl)
-        u = qw[r["term"]] * idf[r["term"]] * r["max_tf"] * (K1 + 1.0) / denom
-        ub[r["block"]] = ub.get(r["block"], 0.0) + u
-        nb[r["block"]] = nb.get(r["block"], 0) + r["n"]
-    if not ub:
+    ub_expr = (
+        F.col("qw")
+        * F.col("idf")
+        * F.col("max_tf")
+        * (K1 + 1.0)
+        / (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / avgdl))
+    )
+    ub_range = (
+        posts.select("term", "block", "n", "max_tf", "min_dl")
+        .join(F.broadcast(qvec), "term")
+        .groupBy("block")
+        .agg(F.sum(ub_expr).alias("ub"), F.sum("n").alias("n_cand"))
+        .persist()
+    )
+    # Phase 1: cheapest ranges that cover ≥ topk candidates seed θ. Collect
+    # a bounded prefix of ranges ordered by ub (descending).
+    prefix = ub_range.orderBy(F.desc("ub"), F.asc("block")).limit(
+        max(64, topk)
+    ).collect()
+    if not prefix:
+        ub_range.unpersist()
         return _empty_scored(index)
-
-    ranked = sorted(ub.items(), key=lambda kv: -kv[1])
     phase1: list[int] = []
     cand = 0
-    for blk, _u in ranked:
-        phase1.append(blk)
-        cand += nb[blk]
+    for r in prefix:
+        phase1.append(r["block"])
+        cand += r["n_cand"]
         if cand >= max(topk, 1):
             break
     p1 = _bm25_exact(posts.filter(F.col("block").isin(phase1)), qvec, avgdl)
     top1 = p1.orderBy(F.desc("score"), F.asc("docid")).limit(topk).collect()
     theta = top1[-1]["score"] if len(top1) >= topk else float("-inf")
 
-    survivors = [blk for blk, u in ranked if blk not in set(phase1) and u >= theta]
-    if not survivors:
-        return spark.createDataFrame(
-            [(r["docid"], r["score"]) for r in top1], "docid long, score double"
-        ).orderBy(F.desc("score"), F.asc("docid"))
-    p2 = _bm25_exact(posts.filter(F.col("block").isin(survivors)), qvec, avgdl)
-    merged = p2.unionByName(
-        spark.createDataFrame(
-            [(r["docid"], r["score"]) for r in top1], "docid long, score double"
-        )
+    # Phase 2: exact-score only surviving ranges (ub ≥ θ), distributed via
+    # a broadcast semi-join on the block id — no driver-side block list.
+    surv_blocks = ub_range.filter(
+        (F.col("ub") >= theta) & ~F.col("block").isin(phase1)
+    ).select("block")
+    p2 = _bm25_exact(
+        posts.join(F.broadcast(surv_blocks), "block", "left_semi"), qvec, avgdl
     )
-    return merged.orderBy(F.desc("score"), F.asc("docid")).limit(topk)
+    seed = spark.createDataFrame(
+        [(r["docid"], r["score"]) for r in top1], "docid long, score double"
+    )
+    out = (
+        p2.unionByName(seed)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(topk)
+    )
+    return out
