@@ -210,6 +210,13 @@ def q_ann_cosine(spark, sf_dir):
     )
 
 
+def q_embed_neardup(spark, sf_dir):
+    from mini_search_engine_spark.ops.ann import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, threshold=0.35)
+
+
 def q_langid(spark, sf_dir):
     return language_id(load_documents(spark, sf_dir))
 
@@ -279,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
+        "embed_neardup": q_embed_neardup,
         "language_id": q_langid,
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
@@ -515,6 +523,21 @@ d AS (
 )
 SELECT vec_id, round(dot / (sqrt(n2) * sqrt(q2)), 6) AS cosine
 FROM d ORDER BY round(dot / (sqrt(n2) * sqrt(q2)), 6) DESC, vec_id LIMIT 10"""
+
+    sqls["embed_neardup"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM e GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.vec_a, d.vec_b, round(d.dot / (x.n * y.n), 6) AS cosine
+FROM d JOIN nrm x ON x.vec_id = d.vec_a JOIN nrm y ON y.vec_id = d.vec_b
+WHERE round(d.dot / (x.n * y.n), 6) >= 0.35"""
 
     sqls["language_id"] = f"""WITH {_WS},
 st AS (

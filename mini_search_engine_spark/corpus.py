@@ -53,6 +53,11 @@ def assign_docids(
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        # persist is CORRECTNESS here, not caching: repartitionByRange
+        # samples range bounds per execution, so the counts job and the
+        # id-assignment job below must see the SAME materialized
+        # partitioning or offsets mismatch → docid collisions.
+        .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}

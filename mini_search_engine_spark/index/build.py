@@ -31,6 +31,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mini_search_engine_spark.analysis.udfs import analyze_col
 from mini_search_engine_spark.index import compress as C
@@ -71,24 +72,94 @@ class InvertedIndex:
 def tokenize_docs(
     docs: DataFrame, analyzer: str = "porter", positional: bool = False
 ) -> DataFrame:
-    """corpus → (docid, term, tf, dl[, positions]) via ONE analyze pass.
+    """corpus → (docid, term, tf, dl[, positions]) with NO shuffle.
 
     Token positions are 0-based indices into the analyzed stream, matching
     ``utils/Utils.java:186-201``; tf = raw occurrence count
-    (``InvertedIndexManager.java:196-209``). The doc length ``dl`` is
-    computed BEFORE the explode and carried through it, so BM25 norms cost
-    no second analyzer pass and no doclens join.
+    (``InvertedIndexManager.java:196-209``).
+
+    (term, docid) pairs are doc-local, so per-term counting is a WITHIN-ROW
+    aggregation — doing it inside the Arrow pass (Counter per doc) instead
+    of ``explode → groupBy(term, docid)`` removes an exchange of one row
+    per posting (~50M rows/million docs) from the build; the only shuffle
+    left in the whole pipeline is the (term, block) aggregation.
+
+    Analyzers with a native Catalyst path keep it (tokens computed
+    JVM-side, then one explode + doc-local pandas-free aggregation is
+    still needed → for those we explode and count in a mapInPandas over
+    already-tokenized rows to stay shuffle-free as well).
     """
-    toks = docs.select("docid", analyze_col(F.col("content"), analyzer).alias("toks"))
-    tokd = toks.select(
-        "docid",
-        F.size("toks").alias("dl"),
-        F.posexplode("toks").alias("pos", "term"),
-    )
-    aggs = [F.count("*").cast("int").alias("tf"), F.max("dl").cast("int").alias("dl")]
+    from mini_search_engine_spark.analysis.udfs import ANALYZERS
+
+    out_fields = [
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
     if positional:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return tokd.groupBy("term", "docid").agg(*aggs)
+        out_fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), False))
+    schema = T.StructType(out_fields)
+
+    # JVM-side tokenization whenever possible (punct split + stopword
+    # filter stay in whole-stage codegen); Python then only stems (memoized
+    # dict hit for all but the first occurrence of a surface form) and
+    # counts. The reference 'porter' analyzer = PunctuationTokenizer +
+    # PorterStemmer, so its token stream is exactly the native punct stream
+    # stemmed element-wise.
+    native = analyzer in ("punct_nostem", "naive", "porter")
+    stem = analyzer == "porter"
+    if native:
+        base = "punct_nostem" if stem else analyzer
+        src = docs.select("docid", ANALYZERS[base](F.col("content")).alias("toks"))
+    else:
+        src = docs.select("docid", "content")
+
+    def count_tokens(batches):
+        import pandas as pd
+
+        from mini_search_engine_spark.analysis.tokenizers import _stem_cached
+        from mini_search_engine_spark.analysis.tokenizers import analyze as _an
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            docids, dls, terms, tfs, poss = [], [], [], [], []
+            if native and stem:
+                toks_iter = (
+                    [_stem_cached(t) for t in toks] for toks in pdf["toks"]
+                )
+            elif native:
+                toks_iter = pdf["toks"]
+            else:
+                toks_iter = pdf["content"].map(lambda c: _an(c, tokenizer=analyzer))
+            for docid, toks in zip(pdf["docid"], toks_iter):
+                dl = len(toks)
+                if positional:
+                    by_term: dict = {}
+                    for p, t in enumerate(toks):
+                        by_term.setdefault(t, []).append(p)
+                    for t, plist in by_term.items():
+                        docids.append(docid)
+                        dls.append(dl)
+                        terms.append(t)
+                        tfs.append(len(plist))
+                        poss.append(plist)
+                else:
+                    by_term = {}
+                    for t in toks:
+                        by_term[t] = by_term.get(t, 0) + 1
+                    for t, c in by_term.items():
+                        docids.append(docid)
+                        dls.append(dl)
+                        terms.append(t)
+                        tfs.append(c)
+            data = {"docid": docids, "dl": dls, "term": terms, "tf": tfs}
+            if positional:
+                data["positions"] = poss
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(count_tokens, schema=schema)
 
 
 def doc_lengths(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
@@ -185,16 +256,17 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
     term-equality predicates prune Parquet row groups (replaces the
     reference's dictionary-first lookup, ``InvertedIndexManager.java:757-766``)."""
     spark = index.postings.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    # The (term, block) aggregation already hash-distributed the rows; a
+    # partition-local sort is enough for term-predicate row-group pruning —
+    # re-shuffling GBs of posting arrays by term would double the write cost.
     (
-        index.postings.repartition(n, "term")
-        .sortWithinPartitions("term", "block")
+        index.postings.sortWithinPartitions("term", "block")
         .write.mode(mode)
         .parquet(f"{path}/postings")
     )
-    index.doclens.repartition(max(1, n // 4), "docid").sortWithinPartitions("docid").write.mode(
-        mode
-    ).parquet(f"{path}/doclens")
+    index.doclens.sortWithinPartitions("docid").write.mode(mode).parquet(
+        f"{path}/doclens"
+    )
     index.termstats.write.mode(mode).parquet(f"{path}/termstats")
     meta = spark.createDataFrame(
         [

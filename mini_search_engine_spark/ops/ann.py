@@ -65,6 +65,30 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs self-join).
+
+    → (vec_a, vec_b, cosine) for a < b with round(cosine,6) ≥ threshold.
+    The exact quadratic baseline; at scale restrict candidates first
+    (``lsh_cosine_topk``-style sign bucketing) — this is the oracle path.
+    """
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_norm2(F.col("_va"))) * F.sqrt(_norm2(F.col("_vb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _sign_bucket(vec: Column, dims: list[int]) -> Column:
     """Bucket id from the sign bits of the chosen dimensions."""
     bit = F.lit(0).cast("long")

@@ -32,7 +32,11 @@ def main():
         shuffle_partitions=cpus * 2,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = load_corpus(spark.read.parquet(corpus_path)).cache()
+    # Spread the corpus across 2×cores before caching: a few hundred MB of
+    # parquet coalesces to ~3 input splits at the default 128MB
+    # maxPartitionBytes, which would serialize the analyzer UDF regardless
+    # of core count. (On a real cluster the input arrives pre-split.)
+    docs = load_corpus(spark.read.parquet(corpus_path)).repartition(cpus * 2).cache()
     n_files = docs.count()
     idx_path = os.path.join(tempfile.gettempdir(), f"mse_scale_idx_{cpus}")
     shutil.rmtree(idx_path, ignore_errors=True)
