@@ -1,0 +1,108 @@
+"""Fixtures ported verbatim from the reference's own test suite, asserting
+the same expected results (docids 0..n in insertion order).
+
+Sources: Team10MergeTest.java:25-59 (naive analyzer, merged postings map),
+Team11PhraseSearchTest.java:23-120 (porter analyzer, phrase queries),
+Team6AndSearchTest-style AND-miss semantics.
+"""
+
+import pytest
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.index.build import build_index
+from mini_search_engine_spark.index.merge import merge_segments
+from mini_search_engine_spark.search import search_and, search_phrase
+
+
+def _corpus(spark, texts):
+    rows = [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)]
+    return load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+
+
+TEAM10_DOCS = [
+    "what is he doing today",
+    "what a cute dog",
+    "i saw you doing there today",
+    "a dog is there",
+]
+
+# Team10MergeTest.java:36-47 — expected merged Map<term, [docids]>
+TEAM10_EXPECTED = {
+    "what": [0, 1],
+    "is": [0, 3],
+    "he": [0],
+    "doing": [0, 2],
+    "today": [0, 2],
+    "a": [1, 3],
+    "cute": [1],
+    "dog": [1, 3],
+    "i": [2],
+    "saw": [2],
+    "you": [2],
+    "there": [2, 3],
+}
+
+
+def test_team10_merge_golden(spark):
+    docs = _corpus(spark, TEAM10_DOCS)
+    # two "segments" of 2 docs each (flush pattern), rebased merge
+    seg0 = build_index(_corpus(spark, TEAM10_DOCS[:2]), analyzer="naive", block_span=4)
+    seg1 = build_index(_corpus(spark, TEAM10_DOCS[2:]), analyzer="naive", block_span=4)
+    merged = merge_segments([seg0, seg1], rebase_docids=True)
+    got = {}
+    for r in merged.decoded().postings.collect():
+        got.setdefault(r["term"], []).extend(r["docids"])
+    got = {t: sorted(v) for t, v in got.items()}
+    assert got == TEAM10_EXPECTED
+    # and the direct (global-docid) build agrees
+    full = build_index(docs, analyzer="naive", block_span=4)
+    got2 = {}
+    for r in full.decoded().postings.collect():
+        got2.setdefault(r["term"], []).extend(r["docids"])
+    assert {t: sorted(v) for t, v in got2.items()} == TEAM10_EXPECTED
+
+
+TEAM11_DOCS = [
+    "That sounds like a good idea. Maybe we should go out to eat beforehand.",
+    "Let’s meet at Summer Pizza House. I have not gone there for a long time.",
+    "Good idea again. I heard they just came up with a new pizza.",
+    "We can meet at Summer Pizza House at noon. That will give us plenty of time to enjoy our pizza.",
+    "She graduated last June, and she will start her teaching career next week when the new school term begins.",
+    "The kids might even look forward to going to school since they have so many friends to play with.",
+    "I am always amazed by the things kindergarten teachers do so it's a good idea to let her join us.",
+]
+
+
+@pytest.fixture(scope="module")
+def team11_index(spark):
+    return build_index(
+        _corpus(spark, TEAM11_DOCS), analyzer="porter", positional=True, block_span=4
+    )
+
+
+def test_team11_phrase1(team11_index):
+    # Team11PhraseSearchTest.java:73-84 — ["eat", "beforehand"] → doc 0
+    got = [r["docid"] for r in search_phrase(team11_index, "eat beforehand").collect()]
+    assert got == [0]
+
+
+def test_team11_phrase2(team11_index):
+    # :90-103 — ["Summer", "Pizza", "House"] → docs 1 and 3
+    got = [r["docid"] for r in search_phrase(team11_index, "Summer Pizza House").collect()]
+    assert got == [1, 3]
+
+
+def test_team11_good_idea(team11_index):
+    # :106-120 — ["good", "idea"] phrase → docs 0, 2, 6
+    got = [r["docid"] for r in search_phrase(team11_index, "good idea").collect()]
+    assert got == [0, 2, 6]
+
+
+def test_team6_and_miss(team11_index):
+    # Team6AndSearchTest pattern (:89-117): conjunction with a term absent
+    # from the corpus → empty
+    assert search_and(team11_index, ["pizza", "nonexistentterm"]).count() == 0

