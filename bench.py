@@ -59,6 +59,7 @@ def main():
     n_files = docs.count()
 
     # ---- index build (timed end-to-end incl. codec + write) ----
+    # block_span auto-sizes to the corpus (index.build.auto_block_span)
     t0 = time.time()
     idx = build_index(docs, analyzer="porter", positional=True, compress=True)
     write_index(idx, idx_path)

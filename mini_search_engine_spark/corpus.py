@@ -86,14 +86,18 @@ def assign_docids(
     return out.drop("_pid")
 
 
-def load_corpus(df: DataFrame) -> DataFrame:
-    """Canonicalize either supported shape to (docid, content, lang, sha, …)."""
+def load_corpus(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Canonicalize either supported shape to (docid, content, lang, sha, …).
+
+    The input_hint shape comes back range-partitioned by docid (a side
+    effect of ``assign_docids``) — keep that partitioning when building
+    with ``local_blocks=True``."""
     cols = set(df.columns)
     if {"doc_id", "text"} <= cols:
         out = df.withColumnRenamed("doc_id", "docid").withColumnRenamed("text", "content")
         out = out.withColumn("docid", F.col("docid").cast("long"))
     elif {"repo", "path", "content"} <= cols:
-        out = assign_docids(df, ["repo", "path"])
+        out = assign_docids(df, ["repo", "path"], num_partitions=num_partitions)
     else:
         raise ValueError(f"unrecognized corpus schema: {sorted(cols)}")
     return with_sha(out)

@@ -52,6 +52,16 @@ class InvertedIndex:
     block_span: int
     positional: bool
     compressed: bool = False
+    tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
+
+    def unpersist(self) -> None:
+        """Release the build-side persists (postings + token frame). Needed
+        when building repeatedly in one session: Spark's cache manager
+        matches by logical plan, so a later identical build would silently
+        reuse this build's cache."""
+        self.postings.unpersist()
+        if self.tf is not None:
+            self.tf.unpersist()
 
     def decoded(self) -> "InvertedIndex":
         """Return a view with docids/tfs decoded from the codec columns."""
@@ -169,70 +179,243 @@ def doc_lengths(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
     )
 
 
+MIN_BLOCK_SPAN = 256
+TARGET_BLOCKS = 256
+
+
+def auto_block_span(n_docs: int) -> int:
+    """Corpus-adaptive block span targeting ~TARGET_BLOCKS docid ranges.
+
+    The span is the skew/parallelism knob: a hot stopword-grade term
+    produces one posting group PER BLOCK, so total groups ≈ vocabulary ×
+    blocks. Too few blocks (65536-span on a 300k-doc corpus → 5 blocks)
+    collapses the codec + parquet encode of the hottest terms onto a
+    handful of giant rows — measured on this box the postings write then
+    runs at the SAME wall time on 8 and 32 cores. Too many blocks
+    multiplies vocabulary-sized row counts (every term fragments into
+    n_docs/span rows). ~256 blocks balances both at bench scales; at real
+    scale (≥ 16M docs) the span caps at DEFAULT_BLOCK_SPAN and block count
+    grows with the corpus, which is what block-max pruning wants. The span
+    depends only on corpus size — never on core count — so N- and
+    4N-parallelism runs build the identical index."""
+    return max(MIN_BLOCK_SPAN, min(DEFAULT_BLOCK_SPAN, n_docs // TARGET_BLOCKS))
+
+
+def _blocked_postings_arrow(
+    tf: DataFrame, block_span: int, compress: bool, local: bool = False
+) -> DataFrame:
+    """(docid, dl, term, tf) → blocked postings via ONE sorted Arrow pass.
+
+    The Catalyst formulation (``collect_list(struct) → sort_array → 3×
+    transform``) materializes one JVM struct per posting — measured 2×
+    worse scaling (0.55 parallel efficiency) purely from object churn.
+    Here the same exchange is expressed as ``repartition(term, block) →
+    sortWithinPartitions(term, block, docid)`` and the per-group
+    aggregation becomes segmented vectorized kernels over each sorted
+    batch: group boundaries by Arrow C++ compare (``pc.not_equal`` on the
+    string column — measured ~10µs/row, 138 CPU-s for 14M rows, when done
+    through a pandas object-string conversion, which is why this is
+    ``mapInArrow`` and NOT ``mapInPandas``), stats by ``ufunc.reduceat``,
+    codec by ``encode_flat_segments``. Zero per-group and per-row Python.
+    Groups never span partitions (hash on (term, block)); a group spanning
+    Arrow batches is carried over to the next batch.
+
+    ``local=True`` is the **partition-local construction** the north_star
+    names: when the corpus partitions are docid ranges (``assign_docids``
+    range partitioning / ``repartitionByRange("docid")``), each (term,
+    block) group lives in one or two input partitions, so the postings are
+    built with NO wide exchange at all — just a partition-local sort.
+    Blocks straddling a partition boundary yield one postings row per side
+    (disjoint docid sub-ranges); every consumer — queries, stats, merge,
+    WAND pruning — already aggregates across rows of a (term, block) key,
+    exactly as it does across segments. Map-side construction is also what
+    makes the lineage resume and streaming per-batch segments cheap.
+    """
+    out_fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+    ]
+    if compress:
+        data_fields = [
+            T.StructField("docids_bytes", T.BinaryType(), False),
+            T.StructField("tfs_bytes", T.BinaryType(), False),
+            T.StructField("dls_bytes", T.BinaryType(), False),
+        ]
+    else:
+        data_fields = [
+            T.StructField("docids", T.ArrayType(T.LongType()), False),
+            T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+            T.StructField("dls", T.ArrayType(T.IntegerType()), False),
+        ]
+    stat_fields = [
+        T.StructField("min_docid", T.LongType(), False),
+        T.StructField("max_docid", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
+    ]
+    schema = T.StructType(out_fields + data_fields + stat_fields)
+
+    blocked = tf.select("docid", "dl", "term", "tf").withColumn(
+        "block", (F.col("docid") / block_span).cast("long")
+    )
+    if not local:
+        blocked = blocked.repartition("term", "block")
+    blocked = blocked.sortWithinPartitions("term", "block", "docid")
+
+    def agg_encode(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def group_starts(tbl: pa.Table) -> np.ndarray:
+            nr = tbl.num_rows
+            term = tbl.column("term").chunk(0)
+            block = tbl.column("block").chunk(0)
+            if nr == 1:
+                return np.array([0], dtype=np.int64)
+            neq = pc.or_(
+                pc.not_equal(term.slice(1), term.slice(0, nr - 1)),
+                pc.not_equal(block.slice(1), block.slice(0, nr - 1)),
+            ).to_numpy(zero_copy_only=False)
+            newg = np.empty(nr, dtype=bool)
+            newg[0] = True
+            newg[1:] = neq
+            return np.nonzero(newg)[0]
+
+        def emit(tbl: pa.Table, starts: np.ndarray) -> pa.RecordBatch:
+            nr = tbl.num_rows
+            ends = np.append(starts[1:], nr)
+            d = tbl.column("docid").chunk(0).to_numpy()
+            tfv = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
+            dlv = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
+            idx = pa.array(starts)
+            arrays = [
+                pc.take(tbl.column("term").chunk(0), idx),
+                pc.take(tbl.column("block").chunk(0), idx),
+                pa.array((ends - starts).astype(np.int32), pa.int32()),
+            ]
+            if compress:
+                arrays += [
+                    pa.array(C.encode_flat_segments(d, starts, ends, delta=True), pa.binary()),
+                    pa.array(C.encode_flat_segments(tfv, starts, ends, delta=False), pa.binary()),
+                    pa.array(C.encode_flat_segments(dlv, starts, ends, delta=False), pa.binary()),
+                ]
+            else:
+                offsets = pa.array(np.append(starts, nr).astype(np.int32), pa.int32())
+                arrays += [
+                    pa.ListArray.from_arrays(offsets, pa.array(d, pa.int64())),
+                    pa.ListArray.from_arrays(offsets, pa.array(tfv.astype(np.int32), pa.int32())),
+                    pa.ListArray.from_arrays(offsets, pa.array(dlv.astype(np.int32), pa.int32())),
+                ]
+            arrays += [
+                pa.array(d[starts], pa.int64()),
+                pa.array(d[ends - 1], pa.int64()),
+                pa.array(np.maximum.reduceat(tfv, starts).astype(np.int32), pa.int32()),
+                pa.array(np.minimum.reduceat(dlv, starts).astype(np.int32), pa.int32()),
+            ]
+            names = [f.name for f in schema.fields]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        carry: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+                carry = None
+            if tbl.num_rows == 0:
+                continue
+            starts = group_starts(tbl)
+            last_start = int(starts[-1])
+            carry = tbl.slice(last_start)
+            if last_start:
+                yield emit(tbl.slice(0, last_start).combine_chunks(), starts[:-1])
+        if carry is not None and carry.num_rows:
+            carry = carry.combine_chunks()
+            yield emit(carry, group_starts(carry))
+
+    return blocked.mapInArrow(agg_encode, schema=schema)
+
+
 def build_index(
     docs: DataFrame,
     analyzer: str = "porter",
     positional: bool = False,
-    block_span: int = DEFAULT_BLOCK_SPAN,
+    block_span: int | None = None,
     compress: bool = False,
+    local_blocks: bool = False,
 ) -> InvertedIndex:
     """Build the blocked postings table + stats from a canonical corpus.
 
     The plan is fully Catalyst until the optional codec UDF: explode →
     partial/final hash agg on (term, docid) → partial/final hash agg on
     (term, block). Per-block ``ub`` (BM25 upper bound from max_tf) is
-    precomputed for query-time block pruning.
+    precomputed for query-time block pruning. ``block_span=None`` sizes
+    blocks to the corpus (see ``auto_block_span``).
     """
+    n_docs = docs.count()
+    if block_span is None:
+        block_span = auto_block_span(n_docs)
     # One analyzer pass: tf carries dl (Lucene-norms style denormalization),
     # so BM25 needs no query-time doclens join — only broadcast scalars/df.
     # Persisted: postings, doclens and the stats action all reuse it.
     tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).persist()
-    blocked = tf.withColumn("block", (F.col("docid") / block_span).cast("long"))
 
-    plist_fields = [F.col("docid"), F.col("tf"), F.col("dl")]
-    if positional:
-        plist_fields.append(F.col("positions"))
-    plist = F.sort_array(F.collect_list(F.struct(*plist_fields)))
-
-    agg = blocked.groupBy("term", "block").agg(
-        plist.alias("plist"),
-        F.count("*").cast("int").alias("n"),
-        F.min("docid").alias("min_docid"),
-        F.max("docid").alias("max_docid"),
-        F.max("tf").alias("max_tf"),
-        F.min("dl").alias("min_dl"),
-    )
-    cols = [
-        "term",
-        "block",
-        "n",
-        F.transform("plist", lambda x: x["docid"]).alias("docids"),
-        F.transform("plist", lambda x: x["tf"]).alias("tfs"),
-        F.transform("plist", lambda x: x["dl"]).alias("dls"),
-        "min_docid",
-        "max_docid",
-        "max_tf",
-        "min_dl",
-    ]
-    if positional:
-        cols.insert(6, F.transform("plist", lambda x: x["positions"]).alias("positions"))
-    postings = agg.select(*cols)
-
-    if compress:
-        postings = (
-            postings.withColumn("_enc", C.encode_block_udf("docids", "tfs", "dls"))
-            .withColumn("docids_bytes", F.col("_enc.docids_bytes"))
-            .withColumn("tfs_bytes", F.col("_enc.tfs_bytes"))
-            .withColumn("dls_bytes", F.col("_enc.dls_bytes"))
-            .drop("docids", "tfs", "dls", "_enc")
+    if local_blocks and not positional:
+        # shuffle-free path: partition-local sorted Arrow aggregation over
+        # docid-range input partitions — see _blocked_postings_arrow. For
+        # colocated/bucketed inputs this removes the build's only wide
+        # exchange. (Measured NOT faster than the hash-agg below when the
+        # exchange is needed anyway: sorting 1M raw rows per partition by
+        # the term string costs more than hash aggregation.)
+        postings = _blocked_postings_arrow(tf, block_span, compress, local=True)
+    else:
+        # exchange path: Catalyst hash aggregation — collect per-group
+        # struct arrays, sort each group's array (ints within a group,
+        # cheaper than sorting raw rows by string term), then the batch
+        # codec UDF.
+        blocked = tf.withColumn("block", (F.col("docid") / block_span).cast("long"))
+        plist_fields = [F.col("docid"), F.col("tf"), F.col("dl")]
+        if positional:
+            plist_fields.append(F.col("positions"))
+        plist = F.sort_array(F.collect_list(F.struct(*plist_fields)))
+        agg = blocked.groupBy("term", "block").agg(
+            plist.alias("plist"),
+            F.count("*").cast("int").alias("n"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
         )
+        cols = [
+            "term",
+            "block",
+            "n",
+            F.transform("plist", lambda x: x["docid"]).alias("docids"),
+            F.transform("plist", lambda x: x["tf"]).alias("tfs"),
+            F.transform("plist", lambda x: x["dl"]).alias("dls"),
+            "min_docid",
+            "max_docid",
+            "max_tf",
+            "min_dl",
+        ]
+        if positional:
+            cols.insert(6, F.transform("plist", lambda x: x["positions"]).alias("positions"))
+        postings = agg.select(*cols)
+        if compress:
+            postings = (
+                postings.withColumn("_enc", C.encode_block_udf("docids", "tfs", "dls"))
+                .withColumn("docids_bytes", F.col("_enc.docids_bytes"))
+                .withColumn("tfs_bytes", F.col("_enc.tfs_bytes"))
+                .withColumn("dls_bytes", F.col("_enc.dls_bytes"))
+                .drop("docids", "tfs", "dls", "_enc")
+            )
     postings = postings.persist()
 
     # doclens derived from the cached tf (no second analyzer pass); docs
     # with zero tokens are restored with dl=0 via a left join on the corpus.
     dl_nonzero = tf.groupBy("docid").agg(F.max("dl").alias("dl"))
     doclens = docs.select("docid").join(dl_nonzero, "docid", "left").na.fill(0, ["dl"])
-    n_docs = docs.count()
     total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
@@ -248,6 +431,7 @@ def build_index(
         block_span=block_span,
         positional=positional,
         compressed=compress,
+        tf=tf,
     )
 
 
@@ -255,7 +439,6 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
     """Persist the index: postings hash-distributed + sorted by term so
     term-equality predicates prune Parquet row groups (replaces the
     reference's dictionary-first lookup, ``InvertedIndexManager.java:757-766``)."""
-    spark = index.postings.sparkSession
     # The (term, block) aggregation already hash-distributed the rows; a
     # partition-local sort is enough for term-predicate row-group pruning —
     # re-shuffling GBs of posting arrays by term would double the write cost.
@@ -268,24 +451,36 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
         f"{path}/doclens"
     )
     index.termstats.write.mode(mode).parquet(f"{path}/termstats")
-    meta = spark.createDataFrame(
-        [
-            (
-                index.n_docs,
-                index.avgdl,
-                index.analyzer,
-                index.block_span,
-                index.positional,
-                index.compressed,
-            )
-        ],
-        "n_docs long, avgdl double, analyzer string, block_span long, positional boolean, compressed boolean",
-    )
-    meta.coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+    # scalar metadata as a driver-side JSON sidecar: a one-row Spark write
+    # is a whole extra job (+task +file commit) per build — at cluster
+    # scale this is one small PUT next to the table.
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump(
+            {
+                "n_docs": index.n_docs,
+                "avgdl": index.avgdl,
+                "analyzer": index.analyzer,
+                "block_span": index.block_span,
+                "positional": index.positional,
+                "compressed": index.compressed,
+            },
+            f,
+        )
 
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    import json as _json
+    import os as _os
+
+    if _os.path.exists(f"{path}/meta.json"):
+        with open(f"{path}/meta.json") as f:
+            meta = _json.load(f)
+    else:  # indexes written by older builds / lineage finalize
+        meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     return InvertedIndex(
         postings=spark.read.parquet(f"{path}/postings"),
         doclens=spark.read.parquet(f"{path}/doclens"),

@@ -36,8 +36,16 @@ def _empty_docids(index: InvertedIndex) -> DataFrame:
 
 
 def _postings_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
-    """Blocked postings rows for the given terms (term-pruned parquet scan)."""
-    return index.decoded().postings.filter(F.col("term").isin(terms))
+    """Blocked postings rows for the given terms (term-pruned parquet scan).
+
+    Term filter FIRST, codec decode second: the filter lands on the scan
+    (``PushedFilters: In(term, …)``) and the Arrow decode UDF runs only on
+    the surviving blocks — decoding then pruning would ship the whole
+    postings table through Python for a point lookup."""
+    from dataclasses import replace
+
+    filtered = index.postings.filter(F.col("term").isin(terms))
+    return replace(index, postings=filtered).decoded().postings
 
 
 def search_keyword(index: InvertedIndex, keyword: str) -> DataFrame:

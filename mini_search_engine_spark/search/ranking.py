@@ -92,8 +92,12 @@ def search_tfidf(
     spark = index.postings.sparkSession
     qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
 
+    from dataclasses import replace as _rep
+
+    filtered = index.postings.filter(F.col("term").isin(terms))
+    filtered = _rep(index, postings=filtered).decoded().postings
     scored = (
-        _exploded(index.decoded().postings.filter(F.col("term").isin(terms)))
+        _exploded(filtered)
         .join(F.broadcast(qvec), "term")
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .groupBy("docid")
@@ -143,6 +147,7 @@ def bm25_topk(
     keywords: list[str],
     topk: int = 10,
     prune: bool = False,
+    prune_min_blocks: int = 64,
 ) -> DataFrame:
     """BM25 top-k → (docid, score) descending, ties by ascending docid."""
     rows = _bm25_qvec(index, keywords)
@@ -151,11 +156,29 @@ def bm25_topk(
     spark = index.postings.sparkSession
     qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
     terms = [r[0] for r in rows]
-    posts = index.decoded().postings.filter(F.col("term").isin(terms))
+    # term/block filters are applied to the RAW postings (stats + byte
+    # columns only) and the codec UDF runs strictly on the surviving rows —
+    # pruning must reduce Python/Arrow work, not merely row counts.
+    raw = index.postings.filter(F.col("term").isin(terms))
+
+    def dec(df: DataFrame) -> DataFrame:
+        if not index.compressed:
+            return df
+        from dataclasses import replace as _rep
+
+        return _rep(index, postings=df).decoded().postings
+
+    # cost-based fallback: the two-phase pruning spends 2 extra Spark jobs
+    # (UB ranking + θ seeding); with only a handful of docid ranges there is
+    # nothing to skip, so run the single-job exact plan. Driver-side
+    # arithmetic — no extra action.
+    n_blocks = (index.n_docs + index.block_span - 1) // max(index.block_span, 1)
+    if prune and n_blocks < prune_min_blocks:
+        prune = False
 
     if not prune:
         return (
-            _bm25_exact(posts, qvec, index.avgdl)
+            _bm25_exact(dec(raw), qvec, index.avgdl)
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(topk)
         )
@@ -174,7 +197,7 @@ def bm25_topk(
         / (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / avgdl))
     )
     ub_range = (
-        posts.select("term", "block", "n", "max_tf", "min_dl")
+        raw.select("term", "block", "n", "max_tf", "min_dl")
         .join(F.broadcast(qvec), "term")
         .groupBy("block")
         .agg(F.sum(ub_expr).alias("ub"), F.sum("n").alias("n_cand"))
@@ -195,7 +218,7 @@ def bm25_topk(
         cand += r["n_cand"]
         if cand >= max(topk, 1):
             break
-    p1 = _bm25_exact(posts.filter(F.col("block").isin(phase1)), qvec, avgdl)
+    p1 = _bm25_exact(dec(raw.filter(F.col("block").isin(phase1))), qvec, avgdl)
     top1 = p1.orderBy(F.desc("score"), F.asc("docid")).limit(topk).collect()
     theta = top1[-1]["score"] if len(top1) >= topk else float("-inf")
 
@@ -205,7 +228,7 @@ def bm25_topk(
         (F.col("ub") >= theta) & ~F.col("block").isin(phase1)
     ).select("block")
     p2 = _bm25_exact(
-        posts.join(F.broadcast(surv_blocks), "block", "left_semi"), qvec, avgdl
+        dec(raw.join(F.broadcast(surv_blocks), "block", "left_semi")), qvec, avgdl
     )
     seed = spark.createDataFrame(
         [(r["docid"], r["score"]) for r in top1], "docid long, score double"

@@ -7,6 +7,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Moderate local-mode heap: the driver IS the executor in local mode.
+    Measured on this box (32-core, 125G): a 73g heap gives wildly jittery
+    task times (2s–41s for the identical job — GC over a huge region count
+    plus first-touch page zeroing), while 16g is steady; 8g evicts the
+    corpus+tf caches. Cache overflow spills to disk/tmpfs, so bigger heap
+    is NOT better. On a real cluster spark-submit sizes executors."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(int(avail_gb * 0.25), 16))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "mini-search-engine-spark",
     master: str | None = None,
@@ -31,7 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

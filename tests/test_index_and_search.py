@@ -158,7 +158,13 @@ def test_bm25_rank_identical_to_oracle(index, corpus, tiny_corpus):
 def test_bm25_pruned_matches_exact(index):
     for query in (["cat", "dog"], ["inform", "fox"], ["stem"]):
         exact = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(index, query, topk=3).collect()]
-        pruned = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(index, query, topk=3, prune=True).collect()]
+        # prune_min_blocks=0 forces the true two-phase block-max path even
+        # on this tiny fixture (the default cost-based fallback would pick
+        # the exact plan below 64 blocks)
+        pruned = [
+            (r["docid"], round(r["score"], 9))
+            for r in bm25_topk(index, query, topk=3, prune=True, prune_min_blocks=0).collect()
+        ]
         assert exact == pruned
 
 
@@ -186,3 +192,41 @@ def test_sha_invariant(corpus, tiny_corpus):
     got = {r["docid"]: r["sha"] for r in corpus.select("docid", "sha").collect()}
     for r in tiny_corpus.collect():
         assert got[r["doc_id"]] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+
+def test_local_blocks_build_matches_default(corpus):
+    """local_blocks=True (partition-local, shuffle-free construction over
+    docid-range partitions) must be posting-identical to the default
+    exchange-based build; blocks straddling partition boundaries may split
+    into multiple rows per (term, block), which every consumer re-aggregates."""
+    from pyspark.sql import functions as F
+
+    ranged = corpus.repartitionByRange(3, "docid")
+    a = build_index(corpus, analyzer="porter", block_span=4, compress=True)
+    b = build_index(ranged, analyzer="porter", block_span=4, compress=True, local_blocks=True)
+
+    def posting_rows(idx):
+        return sorted(
+            (r["term"], r["docid"], r["tf"], r["dl"])
+            for r in idx.decoded()
+            .postings.select(
+                "term", F.explode(F.arrays_zip("docids", "tfs", "dls")).alias("z")
+            )
+            .select(
+                "term",
+                F.col("z.docids").alias("docid"),
+                F.col("z.tfs").alias("tf"),
+                F.col("z.dls").alias("dl"),
+            )
+            .collect()
+        )
+
+    assert posting_rows(a) == posting_rows(b)
+    # stats and a ranked query agree too
+    assert a.n_docs == b.n_docs and a.avgdl == pytest.approx(b.avgdl)
+    dfa = {r["term"]: r["df"] for r in a.termstats.collect()}
+    dfb = {r["term"]: r["df"] for r in b.termstats.collect()}
+    assert dfa == dfb
+    qa = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(a, ["cat", "dog"], 5).collect()]
+    qb = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(b, ["cat", "dog"], 5).collect()]
+    assert qa == qb
