@@ -76,6 +76,10 @@ class InvertedIndex:
             .withColumn("dls", F.col("_dec.dls"))
             .drop("_dec")
         )
+        if "positions_bytes" in p.columns:
+            p = p.withColumn(
+                "positions", C.decode_positions_udf("positions_bytes", "tfs")
+            ).drop("positions_bytes")
         return replace(self, postings=p, compressed=False)
 
 
@@ -410,6 +414,12 @@ def build_index(
                 .withColumn("dls_bytes", F.col("_enc.dls_bytes"))
                 .drop("docids", "tfs", "dls", "_enc")
             )
+            if positional:
+                # C4: position lists delta-varint encoded; tf array recovers
+                # the per-posting list boundaries at decode time
+                postings = postings.withColumn(
+                    "positions_bytes", C.encode_positions_udf("positions")
+                ).drop("positions")
     postings = postings.persist()
 
     # doclens derived from the cached tf (no second analyzer pass); docs

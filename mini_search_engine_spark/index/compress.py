@@ -279,6 +279,68 @@ def encode_batch_bytes(series: pd.Series, delta: bool) -> pd.Series:
     return pd.Series(_encode_batch(series, delta))
 
 
+# ----------------------- position-list codec (C4) ---------------------------
+# The reference compresses position lists with the same delta+varint codec,
+# addressed via a global-offset index (``InvertedIndexManager.java:596-606``).
+# Here the per-posting tf (= position-list length, ``:652``) recovers the
+# list boundaries, so a postings row needs ONE binary column: each doc's
+# positions are delta-encoded with the gap restarting at the doc boundary,
+# and the varint streams are concatenated in docid order.
+
+
+def _encode_positions_batch(rows: pd.Series) -> list[bytes]:
+    """rows: Series of list-of-list positions (one inner list per posting)."""
+    out = []
+    for row in rows:
+        if row is None or len(row) == 0:
+            out.append(b"")
+            continue
+        arrs = [np.asarray(a, dtype=np.int64) for a in row]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        if int(lens.sum()) == 0:
+            out.append(b"")
+            continue
+        flat = np.concatenate(arrs)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out.append(b"".join(encode_flat_segments(flat, starts, ends, delta=True)))
+    return out
+
+
+def _decode_positions_batch(bufs: pd.Series, tfs: pd.Series) -> list[list]:
+    """Inverse of _encode_positions_batch; ``tfs`` gives per-posting list
+    lengths (tf == len(positions), InvertedIndexManager.java:652)."""
+    out = []
+    for buf, row_tfs in zip(bufs, tfs):
+        row_tfs = np.asarray(row_tfs, dtype=np.int64)
+        if buf is None or len(buf) == 0:
+            out.append([np.empty(0, dtype=np.int64)] * len(row_tfs))
+            continue
+        vals = _varint_parse(bytes(buf))
+        ends = np.cumsum(row_tfs)
+        starts = ends - row_tfs
+        c = np.cumsum(vals)
+        base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+        abs_vals = c - np.repeat(base, row_tfs)
+        out.append(np.split(abs_vals, ends[:-1]))
+    return out
+
+
+@F.pandas_udf(BinaryType())
+def encode_positions_udf(rows: pd.Series) -> pd.Series:
+    return pd.Series(_encode_positions_batch(rows))
+
+
+@F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+def decode_positions_udf(bufs: pd.Series, tfs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [a.astype("int32").tolist() for a in row]
+            for row in _decode_positions_batch(bufs, tfs)
+        ]
+    )
+
+
 # Combined block codec: one Arrow round-trip instead of three.
 
 _ENC_SCHEMA = StructType(

@@ -106,3 +106,48 @@ def test_team6_and_miss(team11_index):
     # Team6AndSearchTest pattern (:89-117): conjunction with a term absent
     # from the corpus → empty
     assert search_and(team11_index, ["pizza", "nonexistentterm"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Team5DocumentFrequencyTest.java:30-80 — per-segment document frequency
+# with the Porter analyzer; segments are the reference's flush batches.
+# ---------------------------------------------------------------------------
+
+TEAM5_SEGMENTS = [
+    ["cat dog toy", "cat Dot", "cat dot toy"],  # segment 0 (flush 1)
+    ["cat toy Dog", "toy dog cat"],             # segment 1 (flush 2)
+    ["cat Dog"],                                # segment 2 (flush 3)
+]
+
+# analyzer.analyze("cat dog Toy Dot") → [cat, dog, toi, dot]; expected df per
+# (term, segment) straight from the reference asserts (:52-79)
+TEAM5_EXPECTED = {
+    "cat": [3, 2, 1],
+    "dog": [1, 2, 1],
+    "toi": [2, 2, 0],
+    "dot": [2, 0, 0],
+}
+
+
+def test_team5_per_segment_document_frequency(spark):
+    from mini_search_engine_spark.analysis import analyze
+
+    assert analyze("cat dog Toy Dot") == ["cat", "dog", "toi", "dot"]
+    segs = [
+        build_index(_corpus(spark, texts), analyzer="porter", block_span=4)
+        for texts in TEAM5_SEGMENTS
+    ]
+    for term, expected in TEAM5_EXPECTED.items():
+        got = []
+        for seg in segs:
+            rows = seg.termstats.filter(f"term = '{term}'").collect()
+            got.append(int(rows[0]["df"]) if rows else 0)
+        assert got == expected, (term, got, expected)
+
+    # getNumDocuments per segment (Team2TfIdfTest.java:54-55 pattern) and
+    # the merged total
+    assert [s.n_docs for s in segs] == [3, 2, 1]
+    merged = merge_segments(segs, rebase_docids=True)
+    assert merged.n_docs == 6
+    dfm = {r["term"]: r["df"] for r in merged.termstats.collect()}
+    assert dfm["cat"] == 6 and dfm["dog"] == 4 and dfm["toi"] == 4 and dfm["dot"] == 2
