@@ -230,3 +230,17 @@ def test_local_blocks_build_matches_default(corpus):
     qa = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(a, ["cat", "dog"], 5).collect()]
     qb = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(b, ["cat", "dog"], 5).collect()]
     assert qa == qb
+
+
+def test_term_filter_pushed_to_parquet_scan(index, tmp_path, spark):
+    """The reference reads the dictionary before touching postings
+    (InvertedIndexManager.java:757-766); the Spark analog is the term
+    predicate reaching the parquet scan (PushedFilters) so row groups are
+    pruned before the decode UDF sees a byte."""
+    path = str(tmp_path / "idx_pushdown")
+    write_index(index, path)
+    idx = read_index(spark, path)
+    from mini_search_engine_spark.search.boolean import _postings_for
+
+    plan = _postings_for(idx, ["cat"])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "In(term, [cat])" in plan or "EqualTo(term,cat)" in plan, plan
