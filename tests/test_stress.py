@@ -1,0 +1,65 @@
+"""Stress-pattern test following the reference suite's shape
+(``Team2StressTest.java:32-59``: ~1500 docs, default thresholds, searches
+must return sane results inside a time budget; ``Team1StressTest.java:68-78``
+adds IO-counter lower bounds — here: the index must actually hit parquet).
+"""
+
+import time
+
+import pytest
+
+from mini_search_engine_spark.corpus import load_corpus, synthesize_source_corpus
+from mini_search_engine_spark.index.build import build_index, read_index, write_index
+from mini_search_engine_spark.search import bm25_topk, search_and, search_keyword, search_phrase
+
+N_DOCS = 1500
+TIME_BUDGET_S = 300  # reference stress budget (Team1StressTest.java:68)
+
+
+@pytest.fixture(scope="module")
+def stress_index(spark, tmp_path_factory):
+    t0 = time.time()
+    corpus = load_corpus(
+        synthesize_source_corpus(spark, n_docs=N_DOCS, seed=7), num_partitions=4
+    ).cache()
+    assert corpus.count() == N_DOCS
+    idx = build_index(corpus, analyzer="porter", positional=True, compress=True)
+    path = str(tmp_path_factory.mktemp("stress") / "idx")
+    write_index(idx, path)
+    built = time.time() - t0
+    assert built < TIME_BUDGET_S, f"build took {built:.0f}s"
+    spark_idx = read_index(corpus.sparkSession, path)
+    return spark_idx
+
+
+def test_stress_build_and_search(stress_index, spark):
+    t0 = time.time()
+    idx = stress_index
+    assert idx.n_docs == N_DOCS
+    # hot code keyword present across the corpus
+    n_import = search_keyword(idx, "import").count()
+    assert n_import > N_DOCS * 0.5
+    # conjunction narrower than either term
+    n_and = search_and(idx, ["index", "merge"]).count()
+    assert 0 < n_and <= min(
+        search_keyword(idx, "index").count(), search_keyword(idx, "merge").count()
+    )
+    # planted phrase (corpus.py _PHRASES) must be findable
+    assert search_phrase(idx, "block max wand").count() > 0
+    # ranked top-k is full and rank-sane
+    top = bm25_topk(idx, ["inverted", "index"], 10).collect()
+    assert len(top) == 10
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert time.time() - t0 < TIME_BUDGET_S
+
+
+def test_stress_index_really_on_disk(stress_index):
+    # IO lower bound (Team1StressTest.java:77-78 analog): the postings
+    # parquet must contain > 0 files with > 0 compressed posting bytes
+    import pyspark.sql.functions as F
+
+    n_bytes = stress_index.postings.agg(
+        F.sum(F.octet_length("docids_bytes"))
+    ).collect()[0][0]
+    assert n_bytes and n_bytes > 1000
