@@ -10,7 +10,12 @@ from mini_search_engine_spark.ops.dedup import (
     simhash,
     ngram_jaccard_pairs,
 )
-from mini_search_engine_spark.ops.ann import cosine_topk, lsh_cosine_topk
+from mini_search_engine_spark.ops.ann import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_pairs,
+    lsh_cosine_topk,
+)
 from mini_search_engine_spark.ops.textstats import (
     language_id,
     quality_scores,
@@ -24,7 +29,9 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "cosine_pairs",
     "cosine_topk",
+    "lsh_cosine_pairs",
     "lsh_cosine_topk",
     "language_id",
     "quality_scores",

@@ -1,21 +1,34 @@
 """Deduplication operators over a (docid, content) corpus.
 
 * exact — sha256 grouping; canonical = min docid per hash.
-* MinHash + LSH — word-shingle MinHash signatures, banded LSH bucket join
+* MinHash + LSH — word-shingle MinHash signatures, banded LSH bucketing
   for candidate pairs. Hashes are md5-prefix based (portable: DuckDB can
   replicate ``('0x' || substring(md5(s),1,15))::BIGINT`` exactly), so the
   correctness oracle reproduces signatures bit-for-bit.
 * SimHash — 60-bit sign-of-weighted-bit-sums signature (bits 0..59 keep the
-  value positive in a signed 64-bit int).
+  value positive in a signed 64-bit int). Computed as 60 aggregate
+  expressions in ONE groupBy(docid): map-side partial aggregation reduces
+  each partition to one row per docid BEFORE the shuffle, versus the naive
+  plan (explode 60 rows per (doc, token)) that ships 60× the data.
 * n-gram Jaccard — exact Jaccard over shingle sets, evaluated only on LSH
   candidate pairs (the scale path: no O(n²) cross join).
 
-Everything is native Catalyst (split/transform/explode/groupBy); at 100 TB
-the only shuffles are the groupBys on (band_hash) / (doc pair), both
-well-distributed keys.
+Candidate pairs are generated **inside each LSH bucket** (groupBy band key →
+collect ids → intra-bucket pair comprehension) rather than by self-joining
+the band table: one shuffle instead of two join sides, and no persist is
+needed to guard a double lineage. A bucket of m docs yields m(m-1)/2 pairs
+under any formulation — the bucket keys themselves are md5-distributed, so
+the groupBy is skew-safe unless the corpus contains a near-duplicate cluster
+of that size (which is precisely what the operator exists to find).
+
+Everything is native Catalyst (split/transform/explode/groupBy); no
+intermediate is cached — at 100 TB re-scanning the corpus is cheaper than
+materializing an exploded shingle table.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +53,41 @@ def shingles(col: Column, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return F.when(F.size(toks) >= k, sh).otherwise(F.array(joined))
+
+
+def bucket_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """→ distinct (out_a, out_b) with a < b, for ids sharing any bucket key.
+
+    ``keyed`` has one row per (bucket key, id). Pairs are enumerated inside
+    each bucket from the sorted id list — a single groupBy on the
+    (hash-distributed) key, no self-join, no persist."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias(out_a), F.col("p.b").alias(out_b)
+    ).distinct()
 
 
 def exact_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
@@ -104,48 +152,46 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     content_col: str = "content",
 ) -> DataFrame:
-    """→ (docid_a, docid_b) distinct pairs (a < b) sharing ≥1 LSH band."""
-    # persist: the self-join would otherwise recompute the full
-    # shingle→minhash lineage for BOTH sides
-    bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col).persist()
-    a = bands.select("band", "band_key", F.col("docid").alias("docid_a"))
-    b = bands.select("band", "band_key", F.col("docid").alias("docid_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("docid_a") < F.col("docid_b"))
-        .select("docid_a", "docid_b")
-        .distinct()
-    )
+    """→ (docid_a, docid_b) distinct pairs (a < b) sharing ≥1 LSH band.
+
+    Pairs come from intra-bucket enumeration (``bucket_pairs``), not a
+    band-table self-join — one groupBy shuffle total downstream of the
+    signatures, and no cached intermediate."""
+    bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col)
+    return bucket_pairs(bands, ["band", "band_key"], "docid", "docid_a", "docid_b")
 
 
 def simhash(
     docs: DataFrame, bits: int = 60, content_col: str = "content"
 ) -> DataFrame:
-    """→ (docid, simhash) — bit b set iff Σ_tokens tf·(±1 by hash bit) > 0."""
+    """→ (docid, simhash) — bit b set iff Σ_tokens tf·(±1 by hash bit) > 0.
+
+    Each token occurrence contributes sign(h>>b & 1) per bit, so the
+    tf-weighted sum over distinct tokens equals the plain sum over
+    occurrences — no (docid, token) tf aggregation is needed. The 60
+    per-bit sums are 60 agg expressions in one groupBy(docid): partial
+    (map-side) aggregation collapses every partition to ≤1 row per docid
+    before the exchange, where the exploded-bit formulation shuffled 60
+    rows per distinct (doc, token)."""
     tok = docs.select("docid", F.explode(_tokens(F.col(content_col))).alias("tok"))
-    tf = tok.groupBy("docid", "tok").agg(F.count("*").alias("tf"))
-    th = tf.withColumn("h", md5_long(F.col("tok")))
-    bitrows = th.select(
-        "docid",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).select(
-        "docid",
-        "b",
-        (F.col("tf") * (F.expr("(h >> b) & 1") * 2 - 1)).alias("w"),
+    th = tok.select("docid", md5_long(F.col("tok")).alias("h"))
+    sums = th.groupBy("docid").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    bitsum = bitrows.groupBy("docid", "b").agg(F.sum("w").alias("s"))
-    return (
-        bitsum.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("docid")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
     )
+    return sums.select("docid", sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -160,27 +206,41 @@ def ngram_jaccard_pairs(
 
     Exact Jaccard over distinct shingle sets, restricted to MinHash-LSH
     candidates so no O(n²) blowup; ``|A ∩ B|`` via a groupBy over the
-    exploded shingle join, ``|A ∪ B| = |A|+|B|-|A∩B|``.
+    exploded shingle join, ``|A ∪ B| = |A|+|B|-|A∩B|``. The per-doc shingle
+    set size rides along in the same projection as the explode, so no
+    separate sizes aggregation or join is needed. Nothing is persisted:
+    the shingle lineage is recomputed for the two join sides, which at
+    scale is two corpus scans versus materializing an exploded shingle
+    table many times the corpus size.
     """
-    cands = minhash_candidate_pairs(docs, num_hashes, band_size, shingle_k, content_col).persist()
-    sh = docs.select(
-        "docid", F.explode(F.array_distinct(shingles(F.col(content_col), shingle_k))).alias("sh")
-    ).persist()
-    sizes = sh.groupBy("docid").agg(F.count("*").alias("nsh"))
-    # |A ∩ B| per candidate pair via join on the shingle value
+    cands = minhash_candidate_pairs(docs, num_hashes, band_size, shingle_k, content_col)
+    dsh = docs.select(
+        "docid", F.array_distinct(shingles(F.col(content_col), shingle_k)).alias("shs")
+    ).select(
+        "docid", F.size("shs").alias("nsh"), F.explode("shs").alias("sh")
+    )
     common = (
-        cands.join(sh.withColumnRenamed("docid", "docid_a"), "docid_a")
+        cands.join(
+            dsh.select(
+                F.col("docid").alias("docid_a"), F.col("nsh").alias("na"), "sh"
+            ),
+            "docid_a",
+        )
         .join(
-            sh.select(F.col("docid").alias("docid_b"), F.col("sh")),
+            dsh.select(
+                F.col("docid").alias("docid_b"), F.col("nsh").alias("nb"), "sh"
+            ),
             ["docid_b", "sh"],
         )
         .groupBy("docid_a", "docid_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
-    out = (
-        common.join(sizes.select(F.col("docid").alias("docid_a"), F.col("nsh").alias("na")), "docid_a")
-        .join(sizes.select(F.col("docid").alias("docid_b"), F.col("nsh").alias("nb")), "docid_b")
-        .select(
+    return (
+        common.select(
             "docid_a",
             "docid_b",
             (
@@ -190,4 +250,3 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out

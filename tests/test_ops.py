@@ -136,6 +136,24 @@ def test_lsh_cosine_contains_self(vectors):
     assert rows[0]["vec_id"] in got
 
 
+def test_lsh_cosine_pairs_lossless(vectors):
+    """The shipped near-dup plan (banded hyperplane LSH candidates + exact
+    cosine on candidates) must reproduce the quadratic oracle exactly —
+    same pairs, bit-identical rounded scores (VERDICT r1 item 1)."""
+    from mini_search_engine_spark.ops import cosine_pairs, lsh_cosine_pairs
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_pairs(vectors, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in lsh_cosine_pairs(vectors, threshold=0.35).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_multimodal_plumbing(dup_corpus):
     media = synthesize_media(dup_corpus)
     feats = extract_features(media, decoder=fake_decoder).collect()
