@@ -13,6 +13,10 @@ from mini_search_engine_spark.analysis.tokenizers import (
     punctuation_tokenize,
     naive_tokenize,
     word_break_tokenize,
+    word_break_logp,
+    prepare_logprob_dict,
+    load_frequency_dict,
+    load_frequency_dict_file,
     analyze,
 )
 from mini_search_engine_spark.analysis.udfs import (
@@ -26,6 +30,10 @@ __all__ = [
     "punctuation_tokenize",
     "naive_tokenize",
     "word_break_tokenize",
+    "word_break_logp",
+    "prepare_logprob_dict",
+    "load_frequency_dict",
+    "load_frequency_dict_file",
     "analyze",
     "analyze_col",
     "ANALYZERS",

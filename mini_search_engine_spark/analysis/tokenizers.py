@@ -58,7 +58,13 @@ class WordBreakError(ValueError):
 
 
 def load_frequency_dict(lines) -> dict[str, float]:
-    """Parse ``word freq`` lines into a probability dict (freq / total)."""
+    """Parse ``word freq`` lines into a probability dict (freq / total).
+
+    Matches ``WordBreakTokenizer.initDict`` (``WordBreakTokenizer.java:65-90``):
+    lines that don't split into exactly two space-separated fields are
+    skipped (this also drops a UTF-8 BOM-only first line, as Java's
+    ``String.trim`` leaves U+FEFF in place and the length-2 check rejects it).
+    """
     freqs: dict[str, float] = {}
     total = 0.0
     for line in lines:
@@ -71,17 +77,37 @@ def load_frequency_dict(lines) -> dict[str, float]:
     return {w: f / total for w, f in freqs.items()}
 
 
-def word_break_tokenize(text: str | None, prob_dict: dict[str, float]) -> list[str]:
-    """DP word-break maximizing sum of log-probabilities (= max product)."""
+def load_frequency_dict_file(path) -> dict[str, float]:
+    with open(path, encoding="utf-8") as fh:
+        return load_frequency_dict(fh)
+
+
+def prepare_logprob_dict(prob_dict: dict[str, float]) -> tuple[dict[str, float], int]:
+    """Precompute (log-prob dict, max word length) ONCE — the DP kernel must
+    never rebuild this per row (with the reference's 82k-entry dictionary
+    that would be 82k ``math.log`` calls per document)."""
+    logp = {w: math.log(p) for w, p in prob_dict.items()}
+    max_word = max((len(w) for w in logp), default=0)
+    return logp, max_word
+
+
+def word_break_logp(
+    text: str | None, logp: dict[str, float], max_word: int
+) -> list[str]:
+    """DP word-break maximizing sum of log-probabilities (= max product).
+
+    Reference: ``WordBreakTokenizer.tokenize/breakWord``
+    (``WordBreakTokenizer.java:94-160``) — case-insensitive, trims, DP over
+    the dictionary, stopwords filtered AFTER segmentation (so stopwords
+    still participate in the DP), unbreakable input raises.
+    """
     if not text:
         return []
     s = text.strip().lower()
     n = len(s)
     if n == 0:
         return []
-    logp = {w: math.log(p) for w, p in prob_dict.items()}
-    max_word = max((len(w) for w in logp), default=0)
-    # best[i] = (score, split_j) for s[i:] ; score = max sum of log probs
+    # best[i] = max sum of log probs segmenting s[i:]; back[i] = split point
     NEG = float("-inf")
     best = [NEG] * (n + 1)
     back = [-1] * (n + 1)
@@ -107,6 +133,13 @@ def word_break_tokenize(text: str | None, prob_dict: dict[str, float]) -> list[s
             out.append(tok)
         i = j
     return out
+
+
+def word_break_tokenize(text: str | None, prob_dict: dict[str, float]) -> list[str]:
+    """Single-call convenience wrapper; batch paths must use
+    ``prepare_logprob_dict`` + ``word_break_logp`` to hoist the log pass."""
+    logp, max_word = prepare_logprob_dict(prob_dict)
+    return word_break_logp(text, logp, max_word)
 
 
 @lru_cache(maxsize=1 << 16)

@@ -76,25 +76,29 @@ def word_break_col(col: Column, prob_dict: dict[str, float], spark=None) -> Colu
     (reference loads an 82k-entry frequency dict,
     ``WordBreakTokenizer.java:55-62``; the dict here is caller-supplied —
     any ``word freq`` source parsed by ``load_frequency_dict``).
-    Unbreakable strings yield NULL (the reference throws; a distributed
-    scan surfaces failures as rows to inspect, not task aborts)."""
+    The log-prob table and max word length are computed ONCE driver-side
+    and broadcast; the per-row kernel only runs the DP. Unbreakable
+    strings yield NULL (the reference throws; a distributed scan surfaces
+    failures as rows to inspect, not task aborts)."""
     from pyspark.sql import SparkSession
 
     from mini_search_engine_spark.analysis.tokenizers import (
         WordBreakError,
-        word_break_tokenize,
+        prepare_logprob_dict,
+        word_break_logp,
     )
 
     sc = (spark or SparkSession.getActiveSession()).sparkContext
-    bdict = sc.broadcast(prob_dict)
+    logp, max_word = prepare_logprob_dict(prob_dict)
+    bdict = sc.broadcast((logp, max_word))
 
     @F.pandas_udf(ArrayType(StringType()))
     def _wb(texts: pd.Series) -> pd.Series:
-        d = bdict.value
+        d, mw = bdict.value
 
         def run(t):
             try:
-                return word_break_tokenize(t, d)
+                return word_break_logp(t, d, mw)
             except WordBreakError:
                 return None
 

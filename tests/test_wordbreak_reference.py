@@ -1,0 +1,170 @@
+"""Word-break / Japanese tokenizer parity against the reference's REAL
+dictionaries and golden segmentations.
+
+Goldens ported from
+``src/test/java/edu/uci/ics/cs221/analysis/wordbreak/WordBreakTokenizerTest.java``
+and ``JapaneseTokenizerTest.java``; dictionaries are the reference's public
+resources ``cs221_frequency_dictionary_{en,jp}.txt`` (82,772 and 44,999
+entries after the BOM/format filter). Skipped when the reference checkout
+is absent — the engine itself takes any ``word freq`` dictionary source.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.analysis.tokenizers import (
+    WordBreakError,
+    load_frequency_dict_file,
+    prepare_logprob_dict,
+    word_break_logp,
+)
+from mini_search_engine_spark.analysis.udfs import word_break_col
+
+EN_DICT = "/root/reference/src/main/resources/cs221_frequency_dictionary_en.txt"
+JP_DICT = "/root/reference/src/main/resources/cs221_frequency_dictionary_jp.txt"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(EN_DICT) and os.path.exists(JP_DICT)),
+    reason="reference dictionaries not available",
+)
+
+
+@pytest.fixture(scope="module")
+def en_logp():
+    d = load_frequency_dict_file(EN_DICT)
+    assert len(d) == 82772
+    return prepare_logprob_dict(d)
+
+
+@pytest.fixture(scope="module")
+def jp_logp():
+    d = load_frequency_dict_file(JP_DICT)
+    assert len(d) == 44999
+    return prepare_logprob_dict(d)
+
+
+# WordBreakTokenizerTest.java golden cases (short)
+EN_CASES = [
+    ("catdog", ["cat", "dog"]),                     # testCanBreak
+    ("你好我是一个人", ["你好", "我", "是", "一个", "人"]),  # testChinese
+    ("さようなら友達", ["さようなら", "友達"]),         # testJapanese (EN dict!)
+    ("catdogcatdog", ["cat", "dog", "cat", "dog"]),  # testDuplication
+    ("CATDOG", ["cat", "dog"]),                     # testUppercaseString
+    ("       catdog     ", ["cat", "dog"]),         # testNotTrimString
+    ("", []),                                        # testEmptyString
+    (None, []),
+    ("mecatdog", ["cat", "dog"]),                   # testContainStopWord
+    ("something", ["something"]),                   # testProbCompare
+]
+
+# JapaneseTokenizerTest.java golden cases
+JP_CASES = [
+    ("さようなら友達", ["さようなら", "友達"]),
+    ("ジンボはリンゴを食べる", ["ジン", "ボ", "は", "リンゴ", "を", "食べる"]),
+    ("あなたを愛しています", ["あなた", "を", "愛し", "て", "い", "ます"]),
+]
+
+# WordBreakTokenizerTest.longTest1/longTest2 — 900-char concatenations with
+# full expected segmentations (20 s reference timeout each; the DP here
+# runs in single-digit milliseconds)
+LONG1 = (
+    "tosherlockholmessheisalwaysthewomanihaveseldomheardhimmentionherunderanyoth"
+    "ernameinhiseyessheeclipsesandpredominatesthewholeofhersexitwasnotthathefelt"
+    "anyemotionakintoloveforireneadlerallemotionsandthatoneparticularlywereabhor"
+    "renttohiscoldprecisebutadmirablybalancedmindhewasitakeitthemostperfectreaso"
+    "ningandobservingmachinethattheworldhasseenbutasaloverhewouldhaveplacedhimse"
+    "lfinafalsepositionheneverspokeofthesofterpassionssavewithagibeandasneerthey"
+    "wereadmirablethingsfortheobserverexcellentfordrawingtheveilfrommenmotivesan"
+    "dactionsbutforthetrainedreasonertoadmitsuchintrusionsintohisowndelicateandf"
+    "inelyadjustedtemperamentwastointroduceadistractingfactorwhichmightthrowadou"
+    "btuponallhismentalresultsgritinasensitiveinstrumentoracrackinoneofhisownhig"
+    "hpowerlenseswouldnotbemoredisturbingthanastrongemotioninanaturesuchashisand"
+    "yettherewasbutonewomantohimandthatwomanwasthelateireneadlerofdubiousandques"
+    "tionablememory"
+)
+EXP1 = (
+    "sherlock holmes always woman seldom heard mention name eyes eclipses "
+    "predominates whole sex felt emotion akin love irene adler emotions one "
+    "particularly abhorrent cold precise admirably balanced mind take perfect "
+    "reasoning observing machine world seen lover would placed false position "
+    "never spoke softer passions save gibe sneer admirable things observer "
+    "excellent drawing veil men motives actions trained reasoner admit "
+    "intrusions delicate finely adjusted temperament introduce distracting "
+    "factor might throw doubt upon mental results grit sensitive instrument "
+    "crack one high power lenses would disturbing strong emotion nature yet "
+    "one woman woman late irene adler dubious questionable memory"
+).split()
+
+LONG2 = (
+    "ihadseenlittleofholmeslatelymymarriagehaddriftedusawayfromeachothermyowncom"
+    "pletehappinessandthehomecentredinterestswhichriseuparoundthemanwhofirstfind"
+    "shimselfmasterofhisownestablishmentweresufficienttoabsorballmyattentionwhil"
+    "eholmeswholoathedeveryformofsocietywithhiswholesoulremainedinourlodgingsinb"
+    "akerstreetburiedamonghisoldbooksandalternatingfromweektoweekbetweencocainea"
+    "ndambitionthedrowsinessofthedrugandthefierceenergyofhisownkeennaturehewasst"
+    "illaseverdeeplyattractedbythestudyofcrimeandoccupiedhisimmensefacultiesande"
+    "xtraordinarypowersofobservationinfollowingoutthosecluesandclearingupthosemy"
+    "sterieswhichhadbeenabandonedashopelessbytheofficialpolicefromtimetotimeihea"
+    "rdsomevagueaccountofhisdoingsofhissummonstoodessainthecaseofthemurderofhisc"
+    "learingupofthesingulartragedyoftheatkinsonbrothersattrincomaleeandfinallyof"
+    "themissionwhichhehadaccomplishedsodelicatelyandsuccessfullyforthereigningfa"
+    "milyofhollandbeyondthesesignsofhisactivityhoweverwhichimerelysharedwithallt"
+    "hereadersofthedailypressiknewlittleofmyformerfriendandcompanion"
+)
+EXP2 = (
+    "seen little holmes lately marriage drifted us away complete happiness "
+    "home centred interests rise around man first finds master establishment "
+    "sufficient absorb attention holmes loathed every form society whole soul "
+    "remained lodgings baker street buried among old books alternating week "
+    "week cocaine ambition drowsiness drug fierce energy keen nature still "
+    "ever deeply attracted study crime occupied immense faculties "
+    "extraordinary powers observation following clues clearing mysteries "
+    "abandoned hopeless official police time time heard vague account doings "
+    "summons odessa case murder clearing singular tragedy atkinson brothers "
+    "trincomalee finally mission accomplished delicately successfully "
+    "reigning family holland beyond signs activity however merely shared "
+    "readers daily press knew little former friend companion"
+).split()
+
+
+@pytest.mark.parametrize("text,expected", EN_CASES)
+def test_wordbreak_en_goldens(en_logp, text, expected):
+    assert word_break_logp(text, *en_logp) == expected
+
+
+@pytest.mark.parametrize("text", ["xzy", "!@#$$"])
+def test_wordbreak_unbreakable_raises(en_logp, text):
+    with pytest.raises(WordBreakError):
+        word_break_logp(text, *en_logp)
+
+
+@pytest.mark.parametrize("text,expected", JP_CASES)
+def test_wordbreak_jp_goldens(jp_logp, text, expected):
+    assert word_break_logp(text, *jp_logp) == expected
+
+
+def test_wordbreak_long_goldens(en_logp):
+    assert word_break_logp(LONG1, *en_logp) == EXP1
+    assert word_break_logp(LONG2, *en_logp) == EXP2
+
+
+def test_word_break_col_real_dict(spark):
+    """Distributed path with the full 82k dictionary broadcast: Spark column
+    results must equal the driver-side kernel on every golden."""
+    d = load_frequency_dict_file(EN_DICT)
+    rows = [(i, t) for i, (t, _) in enumerate(EN_CASES) if t is not None]
+    rows.append((len(EN_CASES), LONG1))
+    rows.append((len(EN_CASES) + 1, "xzy"))  # unbreakable → NULL
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select("id", word_break_col(F.col("s"), d).alias("toks")).collect()
+    }
+    for i, (t, expected) in enumerate(EN_CASES):
+        if t is None:
+            continue
+        assert got[i] == expected, t
+    assert got[len(EN_CASES)] == EXP1
+    assert got[len(EN_CASES) + 1] is None
