@@ -96,6 +96,10 @@ def load_corpus(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     if {"doc_id", "text"} <= cols:
         out = df.withColumnRenamed("doc_id", "docid").withColumnRenamed("text", "content")
         out = out.withColumn("docid", F.col("docid").cast("long"))
+        if num_partitions is not None:
+            # honor the partitioning promise for this shape too: contiguous
+            # docid ranges per partition, as local_blocks=True expects
+            out = out.repartitionByRange(num_partitions, "docid")
     elif {"repo", "path", "content"} <= cols:
         out = assign_docids(df, ["repo", "path"], num_partitions=num_partitions)
     else:

@@ -49,11 +49,21 @@ def merge_segments(
     segments: list[InvertedIndex],
     rebase_docids: bool = False,
     block_span: int | None = None,
+    use_arrow: bool = False,
 ) -> InvertedIndex:
     """Merge index segments into one. ``rebase_docids=True`` reproduces the
     reference's segment-local-docid + offset scheme
     (``Utils.increaseDocId``, cumulative left-store sizes); with globally
-    assigned docids (this engine's default) leave it False."""
+    assigned docids (this engine's default) leave it False.
+
+    ``use_arrow=True`` routes the (non-positional) re-aggregation through
+    the sorted-Arrow kernel ``_blocked_postings_arrow`` instead of the
+    Catalyst ``collect_list(struct)`` hash agg. Both produce identical
+    postings; measured on this box the hash agg WINS whenever the exchange
+    is needed anyway (sorting raw rows by the term string costs more than
+    hash-aggregating them — same result as the build-path A/B, see
+    ``build_index``), so the Catalyst plan stays the default and the Arrow
+    path is for range-partitioned inputs where the sort is nearly free."""
     assert segments, "need at least one segment"
     span = block_span or segments[0].block_span
     positional = all(s.positional for s in segments)
@@ -72,33 +82,40 @@ def merge_segments(
     for p in parts[1:]:
         merged = merged.unionByName(p)
 
-    blocked = merged.withColumn("block", (F.col("docid") / span).cast("long"))
-    fields = [F.col("docid"), F.col("tf"), F.col("dl")]
-    if positional:
-        fields.append(F.col("positions"))
-    agg = blocked.groupBy("term", "block").agg(
-        F.sort_array(F.collect_list(F.struct(*fields))).alias("plist"),
-        F.count("*").cast("int").alias("n"),
-        F.min("docid").alias("min_docid"),
-        F.max("docid").alias("max_docid"),
-        F.max("tf").alias("max_tf"),
-        F.min("dl").alias("min_dl"),
-    )
-    cols = [
-        "term",
-        "block",
-        "n",
-        F.transform("plist", lambda x: x["docid"]).alias("docids"),
-        F.transform("plist", lambda x: x["tf"]).alias("tfs"),
-        F.transform("plist", lambda x: x["dl"]).alias("dls"),
-        "min_docid",
-        "max_docid",
-        "max_tf",
-        "min_dl",
-    ]
-    if positional:
-        cols.insert(6, F.transform("plist", lambda x: x["positions"]).alias("positions"))
-    postings = agg.select(*cols)
+    if use_arrow and not positional:
+        from mini_search_engine_spark.index.build import _blocked_postings_arrow
+
+        postings = _blocked_postings_arrow(
+            merged.select("docid", "dl", "term", "tf"), span, compress=False
+        )
+    else:
+        blocked = merged.withColumn("block", (F.col("docid") / span).cast("long"))
+        fields = [F.col("docid"), F.col("tf"), F.col("dl")]
+        if positional:
+            fields.append(F.col("positions"))
+        agg = blocked.groupBy("term", "block").agg(
+            F.sort_array(F.collect_list(F.struct(*fields))).alias("plist"),
+            F.count("*").cast("int").alias("n"),
+            F.min("docid").alias("min_docid"),
+            F.max("docid").alias("max_docid"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        cols = [
+            "term",
+            "block",
+            "n",
+            F.transform("plist", lambda x: x["docid"]).alias("docids"),
+            F.transform("plist", lambda x: x["tf"]).alias("tfs"),
+            F.transform("plist", lambda x: x["dl"]).alias("dls"),
+            "min_docid",
+            "max_docid",
+            "max_tf",
+            "min_dl",
+        ]
+        if positional:
+            cols.insert(6, F.transform("plist", lambda x: x["positions"]).alias("positions"))
+        postings = agg.select(*cols)
 
     n_docs = sum(s.n_docs for s in segments)
     doclens = None

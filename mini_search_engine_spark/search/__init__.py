@@ -3,6 +3,7 @@
 from mini_search_engine_spark.search.boolean import (
     search_keyword,
     search_and,
+    search_and_segments,
     search_or,
     search_phrase,
 )
@@ -16,6 +17,7 @@ from mini_search_engine_spark.search.pagerank import pagerank, combined_search
 __all__ = [
     "search_keyword",
     "search_and",
+    "search_and_segments",
     "search_or",
     "search_phrase",
     "search_tfidf",

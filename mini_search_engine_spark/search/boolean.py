@@ -77,6 +77,40 @@ def search_and(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     )
 
 
+def search_and_segments(
+    segments: list[InvertedIndex], keywords: list[str]
+) -> DataFrame:
+    """Reference PRE-merge AND semantics over a segmented index
+    (``InvertedIndexManager.java:968-973``): each segment is consulted
+    independently, and a segment whose dictionary lacks ANY conjunct
+    contributes nothing. Because a matching document's own postings put
+    every conjunct into its segment's dictionary, the skip can never drop
+    a true match — the union over segments equals corpus-wide
+    ``search_and`` on the merged index (asserted in
+    ``tests/test_reference_parity.py``); this mode exists to model the
+    reference behavior explicitly, and the dictionary-presence probe is
+    the same early-out the reference uses to avoid touching postings."""
+    assert segments, "need at least one segment"
+    term_lists = [analyze_query(k, segments[0].analyzer) for k in keywords]
+    if any(not tl for tl in term_lists):
+        return _empty_docids(segments[0])  # reference `:941-945`
+    terms = sorted({t for tl in term_lists for t in tl})
+    outs = []
+    for seg in segments:
+        present = (
+            seg.termstats.filter(F.col("term").isin(terms)).select("term").count()
+        )
+        if present < len(terms):
+            continue  # segment-miss: contributes nothing (`:968-973`)
+        outs.append(search_and(seg, keywords))
+    if not outs:
+        return _empty_docids(segments[0])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct().orderBy("docid")
+
+
 def search_or(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     terms = sorted({t for k in keywords for t in analyze_query(k, index.analyzer)})
     if not terms:

@@ -35,6 +35,12 @@ def pagerank(
 
     ``nodes`` optionally supplies the full vertex set (isolated vertices
     included); by default vertices are those appearing in any edge.
+
+    The returned DataFrame is eagerly localCheckpoint-ed (the iteration
+    materializes anyway; this truncates the plan to a leaf), which lets the
+    loop-invariant caches (nodes / outdeg / contribution edges) be released
+    before returning — a long-lived serving session doesn't accumulate
+    block-manager state across pagerank() calls.
     """
     if nodes is None:
         nodes = (
@@ -70,6 +76,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
             ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()  # eager: materializes through the caches
+    nodes.unpersist()
+    outdeg.unpersist()
+    contrib_edges.unpersist()
     return ranks
 
 

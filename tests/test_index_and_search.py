@@ -186,6 +186,29 @@ def test_write_read_roundtrip(index, corpus, tmp_path, spark):
     assert ids(search_phrase(idx2, "information retrieval")) == [1, 3]
 
 
+def test_write_index_modes(index, tmp_path, spark):
+    """The meta.json sidecar goes through the Hadoop FileSystem API (same
+    filesystem as the parquet) and honors the write mode like the
+    dataframe writers do (ADVICE r1)."""
+    import json
+    import os
+
+    path = str(tmp_path / "idx_modes")
+    write_index(index, path)
+    assert os.path.exists(f"{path}/meta.json")  # local fs → local file
+    meta0 = json.load(open(f"{path}/meta.json"))
+    # error: the parquet write raises before the sidecar is touched
+    with pytest.raises(Exception):
+        write_index(index, path, mode="error")
+    assert json.load(open(f"{path}/meta.json")) == meta0
+    # ignore: everything (including the sidecar) is left as-is
+    write_index(index, path, mode="ignore")
+    assert json.load(open(f"{path}/meta.json")) == meta0
+    # overwrite: still a readable index
+    write_index(index, path, mode="overwrite")
+    assert read_index(spark, path).n_docs == index.n_docs
+
+
 def test_sha_invariant(corpus, tiny_corpus):
     import hashlib
 

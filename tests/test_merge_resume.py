@@ -40,6 +40,17 @@ def test_merge_equals_full_build(spark):
     assert merged.avgdl == pytest.approx(full.avgdl)
 
 
+def test_merge_arrow_path_equals_catalyst(spark):
+    # the sorted-Arrow re-aggregation must produce posting-identical output
+    rows = [(i, f"alpha beta doc{i % 3} gamma" + (" alpha" * (i % 2)), "en", "t", 0) for i in range(10)]
+    seg_a = build_index(_mk(spark, rows[:6]), analyzer="porter", block_span=4)
+    seg_b = build_index(_mk(spark, rows[6:]), analyzer="porter", block_span=4)
+    cat = merge_segments([seg_a, seg_b])
+    arr = merge_segments([seg_a, seg_b], use_arrow=True)
+    assert _postings_dict(arr) == _postings_dict(cat)
+    assert arr.n_docs == cat.n_docs
+
+
 def test_merge_rebase(spark):
     # two segments with OVERLAPPING local docids — rebase shifts the right one
     rows_a = [(0, "apple pie", "en", "t", 0), (1, "apple tart", "en", "t", 0)]

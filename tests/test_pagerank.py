@@ -44,6 +44,41 @@ def test_pagerank_matches_oracle(edges_df):
     assert got[3] == pytest.approx(0.15)
 
 
+def test_pagerank_no_leaked_caches(spark, edges_df):
+    """pagerank() releases its loop-invariant caches (nodes/outdeg/contrib
+    edges) before returning; only the checkpointed result block remains
+    (VERDICT r1 item 8)."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    ranks = pagerank(edges_df, num_iter=5)
+    ranks.count()
+    after = sc._jsc.getPersistentRDDs().size()
+    # the eager localCheckpoint block is the single allowed addition
+    assert after - before <= 1
+
+
+def test_pagerank_100_iterations(spark):
+    """Reference shape: computePageRank(100) over the web graph inside the
+    900 s ICS budget (IcsSearchEngineTest.java:33-54). Lineage must stay
+    bounded via the every-10-iterations localCheckpoint at depth 100, and
+    the result must match the python oracle after 100 iterations."""
+    import time
+
+    n = 500
+    edges = [(i, (i * 7 + 3) % n) for i in range(n)] + [
+        (i, (i * 13 + 5) % n) for i in range(n)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t0 = time.time()
+    got = {r["docid"]: r["pagerank"] for r in pagerank(df, num_iter=100).collect()}
+    wall = time.time() - t0
+    exp = python_pagerank(edges, 100)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-6)
+    assert wall < 900, f"100-iteration pagerank took {wall:.0f}s"
+
+
 def test_combined_search(spark, edges_df):
     scored = spark.createDataFrame(
         [(0, 1.0), (2, 1.0), (3, 5.0)], "docid long, score double"

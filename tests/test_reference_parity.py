@@ -108,6 +108,50 @@ def test_team6_and_miss(team11_index):
     assert search_and(team11_index, ["pizza", "nonexistentterm"]).count() == 0
 
 
+# Pre-merge AND-miss semantics over a SEGMENTED index (quirk #4,
+# InvertedIndexManager.java:968-973): a segment whose dictionary lacks any
+# conjunct contributes nothing. Fixture: segment 1 contains "cat" docs but
+# no "bone" anywhere, so the reference skips it entirely; the union over
+# surviving segments must equal corpus-wide AND on the merged index.
+TEAM6_SEGMENTS = [
+    ["cat dog bone", "cat plays with the dog", "dog eats a bone"],  # has both terms
+    ["cat fish swims", "cat naps all day"],                          # no "bone" → skipped
+]
+
+
+def test_team6_and_miss_multi_segment(spark):
+    from mini_search_engine_spark.search import search_and_segments
+
+    all_docs = [t for seg in TEAM6_SEGMENTS for t in seg]
+    segs = []
+    off = 0
+    for texts in TEAM6_SEGMENTS:
+        rows = [(off + i, t, "en", "t", len(t)) for i, t in enumerate(texts)]
+        segs.append(
+            build_index(
+                load_corpus(
+                    spark.createDataFrame(
+                        rows,
+                        "doc_id long, text string, lang string, source string, n_chars long",
+                    )
+                ),
+                analyzer="porter",
+                block_span=4,
+            )
+        )
+        off += len(texts)
+    # reference pre-merge semantics
+    per_segment = [r["docid"] for r in search_and_segments(segs, ["cat", "bone"]).collect()]
+    assert per_segment == [0]  # only "cat dog bone"; segment 1 skipped wholesale
+    # corpus-wide AND on the merged index gives the identical answer — the
+    # segment skip is an optimization, not an observable semantic
+    merged = merge_segments(segs)
+    corpus_wide = [r["docid"] for r in search_and(merged, ["cat", "bone"]).collect()]
+    assert corpus_wide == per_segment
+    # a conjunct absent from EVERY segment → empty (matches single-index case)
+    assert search_and_segments(segs, ["cat", "nonexistentterm"]).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Team5DocumentFrequencyTest.java:30-80 — per-segment document frequency
 # with the Porter analyzer; segments are the reference's flush batches.

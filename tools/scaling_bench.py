@@ -66,18 +66,32 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 def run_pair(corpus: str, n: int, rounds: int) -> dict:
     """Interleave N / 4N rounds and keep each side's best: this VM has
     minutes-long noise windows that inflate wall times up to 2×; running
-    all N reps then all 4N reps lets one window bias a whole side."""
+    all N reps then all 4N reps lets one window bias a whole side.
+
+    Reports BOTH the best-of-rounds efficiency (best 4N over best N — the
+    engine's demonstrated capability once noise is stripped) and the
+    median of per-round efficiencies (adjacent interleaved N/4N runs —
+    the typical single-box number). The two are labeled as such in the
+    output (ADVICE r1)."""
+    import statistics
+
     small_runs, big_runs = [], []
     for _ in range(rounds):
         small_runs.append(run_build(corpus, n))
         big_runs.append(run_build(corpus, 4 * n))
     b_small = max(small_runs, key=lambda b: b["files_per_sec"])
     b_big = max(big_runs, key=lambda b: b["files_per_sec"])
+    effs = [
+        round((b["files_per_sec"] / s["files_per_sec"]) / 4.0, 3)
+        for s, b in zip(small_runs, big_runs)
+    ]
     return {
         "n": n,
         "small": b_small,
         "big": b_big,
         "eff": round((b_big["files_per_sec"] / b_small["files_per_sec"]) / 4.0, 3),
+        "eff_rounds": effs,
+        "eff_median": round(statistics.median(effs), 3),
         "rounds_files_per_sec": {
             "N": [b["files_per_sec"] for b in small_runs],
             "4N": [b["files_per_sec"] for b in big_runs],
@@ -95,8 +109,10 @@ def pair_md(r: dict, n_docs: int) -> str:
 | **build throughput (files/sec)** | **{r['small']['files_per_sec']}** | **{r['big']['files_per_sec']}** |
 | BM25 top-10 latency (sec, warm) | {r['small']['bm25_top10_sec']} | {r['big']['bm25_top10_sec']} |
 
-**Scaling efficiency N→4N: {r['eff']:.3f}**. Per-round files/sec:
-N={r['rounds_files_per_sec']['N']}, 4N={r['rounds_files_per_sec']['4N']}.
+**Scaling efficiency N→4N: best-of-rounds {r['eff']:.3f}, median-of-rounds
+{r['eff_median']:.3f}** (per-round efficiencies {r['eff_rounds']}).
+Per-round files/sec: N={r['rounds_files_per_sec']['N']},
+4N={r['rounds_files_per_sec']['4N']}.
 """
 
 
@@ -129,6 +145,7 @@ def main():
     )
     sections = "\n".join(pair_md(r, n_docs) for r in results)
     headline = max(r["eff"] for r in results)
+    headline_med = max(r["eff_median"] for r in results)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — throughput + two-parallelism scaling evidence
 
@@ -138,7 +155,10 @@ The same index build (Porter analyze → blocked postings → delta-varint
 codec → parquet) on the same {n_docs}-doc deterministic synthetic
 source-code corpus (seed 42, input_hint schema); separate JVMs per run.
 
-**Best-pair scaling efficiency N→4N: {headline:.3f}** (target ≥ 0.8).
+**Best-pair scaling efficiency N→4N: {headline:.3f} (best-of-rounds — a
+best-case statistic, noise-stripped); median-of-rounds for the same pair:
+{headline_med:.3f}** (target ≥ 0.8). Both statistics come from the same
+interleaved protocol below; the per-pair sections report each.
 
 {sections}
 
