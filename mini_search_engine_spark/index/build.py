@@ -579,10 +579,24 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
         .write.mode(mode)
         .parquet(f"{path}/postings")
     )
-    index.doclens.sortWithinPartitions("docid").write.mode(mode).parquet(
-        f"{path}/doclens"
-    )
-    index.termstats.write.mode(mode).parquet(f"{path}/termstats")
+    # doclens + termstats are small sidecar tables whose jobs are
+    # latency-bound, not throughput-bound; submit them concurrently
+    # (separate driver threads → overlapping jobs) AFTER the postings write
+    # has materialized the postings/tf caches both depend on, so neither
+    # recomputes shared lineage.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_doclens():
+        index.doclens.sortWithinPartitions("docid").write.mode(mode).parquet(
+            f"{path}/doclens"
+        )
+
+    def _w_termstats():
+        index.termstats.write.mode(mode).parquet(f"{path}/termstats")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_w_doclens), pool.submit(_w_termstats)]:
+            fut.result()
     # scalar metadata as a JSON sidecar through the Hadoop FileSystem API —
     # a one-row Spark write is a whole extra job (+task +file commit) per
     # build; a single small PUT on the index's own filesystem is enough.

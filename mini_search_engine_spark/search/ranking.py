@@ -128,17 +128,28 @@ def _bm25_qvec(index: InvertedIndex, keywords: list[str]):
     return rows or None
 
 
-def _bm25_score_expr(avgdl: float) -> F.Column:
+def _term_weight_expr(rows: list[tuple[str, float, float]]) -> F.Column:
+    """Per-term weight qw·idf as a chained-CASE literal over the (few)
+    query terms. Query state is a handful of scalars — folding them into
+    the expression keeps every scoring job a single stage, where a
+    broadcast join would add a broadcast-exchange build (measured ~0.2-0.5 s
+    of fixed latency PER JOB on this box, paid twice more by the pruned
+    path's extra jobs)."""
+    chain = F.lit(0.0)
+    for t, qw, idf in rows:
+        chain = F.when(F.col("term") == F.lit(t), F.lit(float(qw * idf))).otherwise(chain)
+    return chain
+
+
+def _bm25_exact(
+    posts: DataFrame, rows: list[tuple[str, float, float]], avgdl: float
+) -> DataFrame:
+    w = _term_weight_expr(rows)
     denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / avgdl)
-    return F.col("qw") * F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
-
-
-def _bm25_exact(posts: DataFrame, qvec: DataFrame, avgdl: float) -> DataFrame:
     return (
         _exploded(posts)
-        .join(F.broadcast(qvec), "term")
         .groupBy("docid")
-        .agg(F.sum(_bm25_score_expr(avgdl)).alias("score"))
+        .agg(F.sum(w * (F.col("tf") * (K1 + 1.0)) / denom).alias("score"))
     )
 
 
@@ -154,7 +165,6 @@ def bm25_topk(
     if rows is None:
         return _empty_scored(index)
     spark = index.postings.sparkSession
-    qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
     terms = [r[0] for r in rows]
     # term/block filters are applied to the RAW postings (stats + byte
     # columns only) and the codec UDF runs strictly on the surviving rows —
@@ -178,7 +188,7 @@ def bm25_topk(
 
     if not prune:
         return (
-            _bm25_exact(dec(raw), qvec, index.avgdl)
+            _bm25_exact(dec(raw), rows, index.avgdl)
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(topk)
         )
@@ -189,19 +199,21 @@ def bm25_topk(
     # ranges needed to seed θ are ever collected (≤ a few hundred rows,
     # independent of corpus size).
     avgdl = index.avgdl
+    w = _term_weight_expr(rows)
     ub_expr = (
-        F.col("qw")
-        * F.col("idf")
+        w
         * F.col("max_tf")
         * (K1 + 1.0)
         / (F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / avgdl))
     )
+    # NOT persisted: the UB agg touches only block-level stat columns of a
+    # term-pushdown scan (no posting arrays, no codec), so recomputing it
+    # inside the final plan is cheaper than leaking a cached RDD per query
+    # in a serving session.
     ub_range = (
         raw.select("term", "block", "n", "max_tf", "min_dl")
-        .join(F.broadcast(qvec), "term")
         .groupBy("block")
         .agg(F.sum(ub_expr).alias("ub"), F.sum("n").alias("n_cand"))
-        .persist()
     )
     # Phase 1: cheapest ranges that cover ≥ topk candidates seed θ. Collect
     # a bounded prefix of ranges ordered by ub (descending).
@@ -209,7 +221,6 @@ def bm25_topk(
         max(64, topk)
     ).collect()
     if not prefix:
-        ub_range.unpersist()
         return _empty_scored(index)
     phase1: list[int] = []
     cand = 0
@@ -218,21 +229,28 @@ def bm25_topk(
         cand += r["n_cand"]
         if cand >= max(topk, 1):
             break
-    p1 = _bm25_exact(dec(raw.filter(F.col("block").isin(phase1))), qvec, avgdl)
+    p1 = _bm25_exact(dec(raw.filter(F.col("block").isin(phase1))), rows, avgdl)
     top1 = p1.orderBy(F.desc("score"), F.asc("docid")).limit(topk).collect()
     theta = top1[-1]["score"] if len(top1) >= topk else float("-inf")
 
-    # Phase 2: exact-score only surviving ranges (ub ≥ θ), distributed via
-    # a broadcast semi-join on the block id — no driver-side block list.
-    surv_blocks = ub_range.filter(
-        (F.col("ub") >= theta) & ~F.col("block").isin(phase1)
-    ).select("block")
-    p2 = _bm25_exact(
-        dec(raw.join(F.broadcast(surv_blocks), "block", "left_semi")), qvec, avgdl
-    )
+    # Phase 2: exact-score only surviving ranges (ub ≥ θ). When pruning
+    # works, the survivor list is SHORT — collect up to a bounded prefix
+    # and push it as an InSet predicate (single-stage final job). Only if
+    # more than the cap survive (pruning not selective — e.g. uniform
+    # scores) fall back to a distributed semi-join on the block id.
+    surv = ub_range.filter((F.col("ub") >= theta) & ~F.col("block").isin(phase1))
+    cap = 8192
+    surv_ids = [r["block"] for r in surv.select("block").limit(cap + 1).collect()]
+    if len(surv_ids) <= cap:
+        p2_src = raw.filter(F.col("block").isin(surv_ids)) if surv_ids else None
+    else:
+        p2_src = raw.join(F.broadcast(surv.select("block")), "block", "left_semi")
     seed = spark.createDataFrame(
         [(r["docid"], r["score"]) for r in top1], "docid long, score double"
     )
+    if p2_src is None:
+        return seed.orderBy(F.desc("score"), F.asc("docid")).limit(topk)
+    p2 = _bm25_exact(dec(p2_src), rows, avgdl)
     out = (
         p2.unionByName(seed)
         .orderBy(F.desc("score"), F.asc("docid"))
