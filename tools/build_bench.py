@@ -26,6 +26,10 @@ def main():
     corpus_path = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     positional = os.environ.get("SPARK_GRAFT_POSITIONAL", "0") == "1"
+    # fused shuffle-free construction over the range-partitioned input
+    # (load_corpus(num_partitions=...) guarantees contiguous docid ranges);
+    # SPARK_GRAFT_LOCAL_BLOCKS=0 benches the exchange path instead
+    local_blocks = os.environ.get("SPARK_GRAFT_LOCAL_BLOCKS", "1") == "1" and not positional
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         app_name=f"mse-build-bench-{cpus}",
@@ -58,7 +62,7 @@ def main():
     # report the median — this VM's wall times jitter up to 2× run-to-run
     # at full core saturation even for identical pure-JVM jobs.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    warm = build_index(docs, analyzer="porter", positional=positional, compress=True)
+    warm = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks)
     write_index(warm, idx_path)
     warm.unpersist()
 
@@ -66,7 +70,7 @@ def main():
     for _ in range(reps):
         shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.time()
-        idx = build_index(docs, analyzer="porter", positional=positional, compress=True)
+        idx = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks)
         write_index(idx, idx_path)
         times.append(time.time() - t0)
         if _ < reps - 1:
