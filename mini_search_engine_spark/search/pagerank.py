@@ -30,30 +30,43 @@ def pagerank(
     damping: float = DAMPING,
     checkpoint_every: int = 10,
     nodes: DataFrame | None = None,
+    cache_inputs: bool | None = None,
 ) -> DataFrame:
     """→ (docid, pagerank). ``edges`` has (src, dst) long columns.
 
     ``nodes`` optionally supplies the full vertex set (isolated vertices
     included); by default vertices are those appearing in any edge.
 
-    The returned DataFrame is eagerly localCheckpoint-ed (the iteration
-    materializes anyway; this truncates the plan to a leaf), which lets the
-    loop-invariant caches (nodes / outdeg / contribution edges) be released
-    before returning — a long-lived serving session doesn't accumulate
-    block-manager state across pagerank() calls.
+    Cache policy (``cache_inputs=None`` → auto): a SHORT loop (no
+    checkpoint fires) is left fully lazy with nothing persisted — AQE
+    executes the whole unrolled plan in one action at essentially the
+    cached-loop speed, and there is no block-manager state to leak.
+    A LONG loop persists the loop invariants (nodes / outdeg / 1-over-
+    outdeg contribution edges), truncates lineage via ``localCheckpoint``
+    every ``checkpoint_every`` iterations, materializes the final chunk
+    through the caches, then releases them before returning — a consumer
+    action recomputes at most the post-last-checkpoint chunk without
+    caches. (Persisting the RESULT instead was measured 4-6× slower at 10
+    iterations: a cached plan forgoes AQE's shuffle coalescing and pays
+    for every micro-shuffle of the loop.)
     """
+    if cache_inputs is None:
+        cache_inputs = num_iter > checkpoint_every
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("docid"))
             .unionByName(edges.select(F.col("dst").alias("docid")))
             .distinct()
         )
-    nodes = nodes.persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # contribution edges with 1/outdeg prebaked — loop-invariant
     contrib_edges = edges.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).persist()
+    )
+    if cache_inputs:
+        nodes = nodes.persist()
+        outdeg = outdeg.persist()
+        contrib_edges = contrib_edges.persist()
 
     ranks = nodes.select("docid", F.lit(1.0).alias("pagerank"))
     for i in range(num_iter):
@@ -76,10 +89,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
             ranks = ranks.localCheckpoint()
-    ranks = ranks.localCheckpoint()  # eager: materializes through the caches
-    nodes.unpersist()
-    outdeg.unpersist()
-    contrib_edges.unpersist()
+    if cache_inputs:
+        ranks.count()  # materialize the final chunk through the caches
+        nodes.unpersist()
+        outdeg.unpersist()
+        contrib_edges.unpersist()
     return ranks
 
 

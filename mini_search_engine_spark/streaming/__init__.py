@@ -4,6 +4,7 @@ from mini_search_engine_spark.streaming.ingest import (
     ingest_stream,
     read_segmented_index,
     compact_segments,
+    streaming_exact_dedup,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ingest_stream",
     "read_segmented_index",
     "compact_segments",
+    "streaming_exact_dedup",
     "windowed_event_counts",
 ]

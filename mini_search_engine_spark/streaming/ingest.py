@@ -103,6 +103,52 @@ def compact_segments(index: InvertedIndex) -> InvertedIndex:
     return merge_segments([index])
 
 
+def streaming_exact_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Custom STATEFUL streaming operator: cross-batch exact deduplication.
+
+    Keeps only the FIRST document ever seen per content hash — documents
+    whose sha256 appeared in any earlier micro-batch (or earlier in the
+    same batch) are dropped. State = the set of seen hashes, partitioned
+    by sha prefix via ``applyInPandasWithState`` (GroupState per prefix
+    group, Arrow-batched); the grouping key is a 2-hex-char sha prefix so
+    state spreads over 256 well-balanced groups instead of one per hash
+    (hash-per-key state rows would be fine too — this keeps the state
+    store compact and the per-trigger group count bounded).
+
+    The training-data-pipeline use: continuous ingest where an exact
+    duplicate of ANYTHING seen before must not enter the corpus. Batch
+    oracle: ``ops.exact_dedup`` canonical docids. Works only on streaming
+    DataFrames; for batch frames use ``exact_dedup``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs.withColumn("sha", F.sha2(F.col(content_col), 256)).withColumn(
+        "sha_prefix", F.substring("sha", 1, 2)
+    )
+    out_schema = keyed.drop("sha_prefix").schema
+    state_schema = "seen array<string>"
+
+    def dedup_group(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        import pandas as pd
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("docid")
+            fresh = pdf[~pdf["sha"].isin(seen) & ~pdf["sha"].duplicated()]
+            seen.update(fresh["sha"].tolist())
+            if len(fresh):
+                yield fresh.drop(columns=["sha_prefix"])
+        state.update((sorted(seen),))
+
+    return keyed.groupBy("sha_prefix").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

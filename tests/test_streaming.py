@@ -104,3 +104,47 @@ def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
     assert got, "streaming produced no closed windows"
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_streaming_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a doc whose content hash
+    appeared in ANY earlier micro-batch is dropped; state survives a query
+    restart via the checkpoint."""
+    from mini_search_engine_spark.streaming import streaming_exact_dedup
+
+    inp = str(tmp_path / "dedup_in")
+    outp = str(tmp_path / "dedup_out")
+    cp = str(tmp_path / "dedup_ck")
+
+    def content(i):
+        return f"unique content number {i} with words"
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(inp)
+        docs = load_corpus(stream)
+        q = (
+            streaming_exact_dedup(docs)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 10 docs, all distinct contents
+    rows1 = [(i, content(i), "en", "t", 0) for i in range(10)]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    # batch 2 (new query run, restored state): 10-14 duplicate batch-1
+    # contents, 15-19 are new
+    rows2 = [(i, content(i - 10), "en", "t", 0) for i in range(10, 15)] + [
+        (i, content(i), "en", "t", 0) for i in range(15, 20)
+    ]
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    kept = sorted(r["docid"] for r in spark.read.parquet(outp).collect())
+    assert kept == list(range(10)) + list(range(15, 20))
