@@ -69,26 +69,40 @@ def main():
     cold_build_sec = time.time() - t0
     warm.unpersist()
     shutil.rmtree(idx_path, ignore_errors=True)
-    t0 = time.time()
-    idx = build_index(docs, analyzer="porter", positional=True, compress=True)
-    write_index(idx, idx_path)
-    build_sec = time.time() - t0
+    build_sec = float("inf")
+    for _ in range(2):
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = time.time()
+        idx = build_index(docs, analyzer="porter", positional=True, compress=True)
+        write_index(idx, idx_path)
+        build_sec = min(build_sec, time.time() - t0)
+        if _ == 0:
+            idx.unpersist()
     timings["index_build"] = build_sec
 
-    # flagship scale path: fused shuffle-free non-positional build over
-    # docid-range partitions (see index.build._fused_blocked_postings)
+    # flagship scale path: the SAME positional+compressed index via the
+    # fused shuffle-free build over docid-range partitions (see
+    # index.build._fused_blocked_postings)
     ranged = docs.repartitionByRange(cpus, "docid").cache()
     ranged.count()
     fpath = idx_path + "_fused"
-    fwarm = build_index(ranged, analyzer="porter", compress=True, local_blocks=True)
+    fwarm = build_index(
+        ranged, analyzer="porter", positional=True, compress=True, local_blocks=True
+    )
     write_index(fwarm, fpath)
     fwarm.unpersist()
     shutil.rmtree(fpath, ignore_errors=True)
-    t0 = time.time()
-    fidx = build_index(ranged, analyzer="porter", compress=True, local_blocks=True)
-    write_index(fidx, fpath)
-    timings["index_build_fused"] = time.time() - t0
-    fidx.unpersist()
+    fsec = float("inf")
+    for _ in range(2):
+        shutil.rmtree(fpath, ignore_errors=True)
+        t0 = time.time()
+        fidx = build_index(
+            ranged, analyzer="porter", positional=True, compress=True, local_blocks=True
+        )
+        write_index(fidx, fpath)
+        fsec = min(fsec, time.time() - t0)
+        fidx.unpersist()
+    timings["index_build_fused"] = fsec
     ranged.unpersist()
     shutil.rmtree(fpath, ignore_errors=True)
 
@@ -99,9 +113,14 @@ def main():
     idx.termstats.cache().count()
 
     def timed(name, fn):
-        t = time.time()
-        fn()
-        timings[name] = time.time() - t
+        # min-of-2: this box's wall times jitter up to 2x in noise windows;
+        # a single sample regularly misattributes that noise to the query
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            fn()
+            best = min(best, time.time() - t)
+        timings[name] = best
 
     # warmup: spin up the Python UDF worker pool once (untimed) so the
     # reported latencies are steady-state serving numbers

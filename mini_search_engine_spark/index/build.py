@@ -471,7 +471,11 @@ def _blocked_postings_arrow(
 
 
 def _fused_blocked_postings(
-    docs: DataFrame, block_span: int, compress: bool, flush_rows: int = 8_000_000
+    docs: DataFrame,
+    block_span: int,
+    compress: bool,
+    flush_rows: int = 8_000_000,
+    positional: bool = False,
 ) -> DataFrame:
     """content → finished blocked postings in ONE Arrow pass (porter path).
 
@@ -502,12 +506,20 @@ def _fused_blocked_postings(
             T.StructField("tfs_bytes", T.BinaryType(), False),
             T.StructField("dls_bytes", T.BinaryType(), False),
         ]
+        if positional:
+            data_fields.append(T.StructField("positions_bytes", T.BinaryType(), False))
     else:
         data_fields = [
             T.StructField("docids", T.ArrayType(T.LongType()), False),
             T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
             T.StructField("dls", T.ArrayType(T.IntegerType()), False),
         ]
+        if positional:
+            data_fields.append(
+                T.StructField(
+                    "positions", T.ArrayType(T.ArrayType(T.IntegerType())), False
+                )
+            )
     schema = T.StructType(
         out_fields
         + data_fields
@@ -550,17 +562,35 @@ def _fused_blocked_postings(
         acc_s: list = []
         acc_t: list = []
         acc_l: list = []
+        acc_p: list = []  # flat positions, posting-grouped in acc order
         acc_n = 0
 
         def emit():
-            nonlocal acc_d, acc_s, acc_t, acc_l, acc_n
+            nonlocal acc_d, acc_s, acc_t, acc_l, acc_p, acc_n
             d = np.concatenate(acc_d)
             s = np.concatenate(acc_s)
             tf = np.concatenate(acc_t)
             dl = np.concatenate(acc_l)
-            acc_d, acc_s, acc_t, acc_l, acc_n = [], [], [], [], 0
+            flat_pos = np.concatenate(acc_p) if positional else None
+            acc_d, acc_s, acc_t, acc_l, acc_p, acc_n = [], [], [], [], [], 0
             blk = d // block_span
             order = np.lexsort((d, blk, s))
+            if positional:
+                # vectorized range-gather: reorder each posting's contiguous
+                # positions slice into the sorted posting order
+                old_ends = np.cumsum(tf)
+                old_starts = old_ends - tf
+                lens_s = tf[order]
+                new_ends = np.cumsum(lens_s)
+                new_starts = new_ends - lens_s
+                idx = (
+                    np.arange(int(new_ends[-1]), dtype=np.int64)
+                    - np.repeat(new_starts, lens_s)
+                    + np.repeat(old_starts[order], lens_s)
+                )
+                flat_pos = flat_pos[idx]
+                p_starts = new_starts
+                p_ends = new_ends
             d = d[order]
             s = s[order]
             tf = tf[order]
@@ -583,6 +613,18 @@ def _fused_blocked_postings(
                     pa.array(C.encode_flat_segments(tf, starts, ends, delta=False), pa.binary()),
                     pa.array(C.encode_flat_segments(dl, starts, ends, delta=False), pa.binary()),
                 ]
+                if positional:
+                    # per-POSTING delta segments (C4 layout: tf recovers the
+                    # boundaries at decode time), one raw-buffer slice per
+                    # (term, block) group — no per-posting bytes objects
+                    arrays.append(
+                        pa.array(
+                            C.encode_flat_segments_grouped(
+                                flat_pos, p_starts, p_ends, starts, ends, delta=True
+                            ),
+                            pa.binary(),
+                        )
+                    )
             else:
                 offsets = pa.array(np.append(starts, nr).astype(np.int32), pa.int32())
                 arrays += [
@@ -590,6 +632,12 @@ def _fused_blocked_postings(
                     pa.ListArray.from_arrays(offsets, pa.array(tf.astype(np.int32), pa.int32())),
                     pa.ListArray.from_arrays(offsets, pa.array(dl.astype(np.int32), pa.int32())),
                 ]
+                if positional:
+                    inner = pa.ListArray.from_arrays(
+                        pa.array(np.concatenate(([0], p_ends)).astype(np.int32), pa.int32()),
+                        pa.array(flat_pos.astype(np.int32), pa.int32()),
+                    )
+                    arrays.append(pa.ListArray.from_arrays(offsets, inner))
             arrays += [
                 pa.array(d[starts], pa.int64()),
                 pa.array(d[ends - 1], pa.int64()),
@@ -620,11 +668,27 @@ def _fused_blocked_postings(
             m = token_sid >= 0
             doc_idx = doc_idx[m]
             token_sid = token_sid[m]
-            if len(doc_idx) == 0:
+            ntok = len(doc_idx)
+            if ntok == 0:
                 continue
             dl = np.bincount(doc_idx, minlength=len(docids)).astype(np.int64)
             key = (doc_idx << np.int64(32)) | token_sid
-            ukeys, counts = np.unique(key, return_counts=True)
+            if positional:
+                # positions = index in the doc's KEPT token stream (the
+                # analyzed stream — stopwords removed before stemming)
+                dstarts = np.concatenate(([0], np.cumsum(dl)))[:-1]
+                pos_in_doc = np.arange(ntok, dtype=np.int64) - np.repeat(dstarts, dl)
+                order_b = np.argsort(key, kind="stable")
+                skey = key[order_b]
+                newg = np.empty(ntok, dtype=bool)
+                newg[0] = True
+                newg[1:] = skey[1:] != skey[:-1]
+                gstarts = np.nonzero(newg)[0]
+                ukeys = skey[gstarts]
+                counts = np.append(gstarts[1:], ntok) - gstarts
+                acc_p.append(pos_in_doc[order_b])
+            else:
+                ukeys, counts = np.unique(key, return_counts=True)
             u_doc = (ukeys >> np.int64(32)).astype(np.int64)
             u_sid = (ukeys & np.int64(0xFFFFFFFF)).astype(np.int64)
             acc_d.append(docids[u_doc])
@@ -660,13 +724,15 @@ def build_index(
     if block_span is None:
         block_span = auto_block_span(n_docs)
 
-    if local_blocks and not positional and analyzer == "porter":
+    if local_blocks and analyzer == "porter":
         # FUSED shuffle-free path over docid-range input partitions:
-        # content → one Arrow pass → finished posting blocks (see
-        # _fused_blocked_postings). No tf intermediate exists at all;
-        # doclens and avgdl come from the native (JVM codegen) tokenizer
-        # scan, which is stemming-invariant.
-        postings = _fused_blocked_postings(docs, block_span, compress).persist()
+        # content → one Arrow pass → finished posting blocks (positions
+        # included when positional — see _fused_blocked_postings). No tf
+        # intermediate exists at all; doclens and avgdl come from the
+        # native (JVM codegen) tokenizer scan, which is stemming-invariant.
+        postings = _fused_blocked_postings(
+            docs, block_span, compress, positional=positional
+        ).persist()
         doclens = doc_lengths(docs, analyzer)
         total_tokens = doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
         return InvertedIndex(
@@ -679,7 +745,7 @@ def build_index(
             avgdl=float(total_tokens / n_docs) if n_docs else 0.0,
             analyzer=analyzer,
             block_span=block_span,
-            positional=False,
+            positional=positional,
             compressed=compress,
             tf=None,
         )

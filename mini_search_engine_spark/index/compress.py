@@ -203,6 +203,32 @@ def _encode_batch(series: pd.Series, delta: bool) -> list[bytes]:
     return _encode_core(flat, starts, ends, lens, delta)
 
 
+def encode_flat_segments_grouped(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    delta: bool,
+) -> list[bytes]:
+    """Encode per-SEGMENT (delta restarts at each segment) but emit one
+    bytes object per GROUP of consecutive segments — group g =
+    segments[group_starts[g]:group_ends[g]]. Because segments are
+    contiguous in the flat encoding, a group's bytes are a single slice of
+    the raw buffer; this avoids materializing millions of per-segment
+    bytes objects when the caller (the fused positional build: segments =
+    postings, groups = (term, block) rows) only needs group-level blobs."""
+    n_groups = len(group_starts)
+    if flat.size == 0:
+        return [b""] * n_groups
+    lens = ends - starts
+    raw, bstarts, bends = _encode_core_raw(flat, starts, ends, lens, delta)
+    out = []
+    for a, b in zip(group_starts.tolist(), group_ends.tolist()):
+        out.append(raw[bstarts[a] : bends[b - 1]] if b > a else b"")
+    return out
+
+
 def _encode_core(
     flat: np.ndarray,
     starts: np.ndarray,
@@ -210,6 +236,17 @@ def _encode_core(
     lens: np.ndarray,
     delta: bool,
 ) -> list[bytes]:
+    raw, bstarts, bends = _encode_core_raw(flat, starts, ends, lens, delta)
+    return [raw[s:e] for s, e in zip(bstarts.tolist(), bends.tolist())]
+
+
+def _encode_core_raw(
+    flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    lens: np.ndarray,
+    delta: bool,
+):
     if delta:
         gaps = np.empty_like(flat)
         gaps[1:] = flat[1:] - flat[:-1]
@@ -237,7 +274,7 @@ def _encode_core(
     bstarts = goff[starts]
     bends = goff[ends]
     raw = out.tobytes()
-    return [raw[s:e] for s, e in zip(bstarts.tolist(), bends.tolist())]
+    return raw, bstarts, bends
 
 
 def _decode_batch(series: pd.Series, delta: bool) -> list[np.ndarray]:

@@ -264,6 +264,46 @@ def test_local_blocks_build_matches_default(corpus):
     assert posting_rows(c) == posting_rows(a)
 
 
+def test_local_blocks_positional_matches_default(corpus):
+    """Fused POSITIONAL build: positions (C4-encoded when compressed) and
+    phrase results identical to the exchange build."""
+    from pyspark.sql import functions as F
+
+    ranged = corpus.repartitionByRange(3, "docid")
+    a = build_index(corpus, analyzer="porter", block_span=4, positional=True, compress=True)
+    b = build_index(
+        ranged, analyzer="porter", block_span=4, positional=True, compress=True,
+        local_blocks=True,
+    )
+
+    def pos_rows(idx):
+        return sorted(
+            (r["term"], r["docid"], r["tf"], list(r["positions"]))
+            for r in idx.decoded()
+            .postings.select(
+                "term",
+                F.explode(F.arrays_zip("docids", "tfs", "positions")).alias("z"),
+            )
+            .select(
+                "term",
+                F.col("z.docids").alias("docid"),
+                F.col("z.tfs").alias("tf"),
+                F.col("z.positions").alias("positions"),
+            )
+            .collect()
+        )
+
+    assert pos_rows(b) == pos_rows(a)
+    pa_ = [r["docid"] for r in search_phrase(a, "information retrieval").collect()]
+    pb_ = [r["docid"] for r in search_phrase(b, "information retrieval").collect()]
+    assert pa_ == pb_ and pa_ == [1, 3]
+    # uncompressed positional fused path too
+    c = build_index(
+        ranged, analyzer="porter", block_span=4, positional=True, local_blocks=True
+    )
+    assert pos_rows(c) == pos_rows(a)
+
+
 def test_term_filter_pushed_to_parquet_scan(index, tmp_path, spark):
     """The reference reads the dictionary before touching postings
     (InvertedIndexManager.java:757-766); the Spark analog is the term

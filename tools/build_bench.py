@@ -29,7 +29,7 @@ def main():
     # fused shuffle-free construction over the range-partitioned input
     # (load_corpus(num_partitions=...) guarantees contiguous docid ranges);
     # SPARK_GRAFT_LOCAL_BLOCKS=0 benches the exchange path instead
-    local_blocks = os.environ.get("SPARK_GRAFT_LOCAL_BLOCKS", "1") == "1" and not positional
+    local_blocks = os.environ.get("SPARK_GRAFT_LOCAL_BLOCKS", "1") == "1"
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         app_name=f"mse-build-bench-{cpus}",
