@@ -13,6 +13,9 @@ from mini_search_engine_spark.ops.dedup import (
 from mini_search_engine_spark.ops.ann import (
     cosine_pairs,
     cosine_topk,
+    ivf_assign,
+    ivf_cosine_topk,
+    ivf_fit_centroids,
     lsh_cosine_pairs,
     lsh_cosine_topk,
 )
@@ -21,6 +24,7 @@ from mini_search_engine_spark.ops.textstats import (
     quality_scores,
     token_counts,
     fingerprints,
+    fingerprints_rolling,
 )
 
 __all__ = [
@@ -31,10 +35,14 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_pairs",
     "cosine_topk",
+    "ivf_assign",
+    "ivf_cosine_topk",
+    "ivf_fit_centroids",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
     "language_id",
     "quality_scores",
     "token_counts",
     "fingerprints",
+    "fingerprints_rolling",
 ]

@@ -167,6 +167,82 @@ def lsh_cosine_pairs(
     )
 
 
+def ivf_fit_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a deterministic
+    driver-side sample (lowest ``sample`` ids — standard IVF practice
+    trains the quantizer on a sample; the full dataset is only ASSIGNED,
+    distributed). Returns (n_centroids, dim) unit-norm float64 centroids.
+    Deterministic: init = the first ``n_centroids`` sampled vectors."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = mat[:n_centroids].copy()
+    for _ in range(n_iter):
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = mat[m].mean(axis=0)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ vectors + ``ivf_list`` (nearest-centroid id by cosine). The
+    assignment is the distributed half of the IVF index: at scale this
+    frame is written partitioned by ``ivf_list`` so a query scans only
+    its probed lists' partitions (partition pruning does the skipping)."""
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return vectors.withColumn("ivf_list", _assign(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroid lists nearest the query,
+    exact cosine only inside them. ``nprobe == n_centroids`` degrades to
+    the exact scan (recall 1 by construction); smaller nprobe trades
+    recall for a 1/(n_centroids/nprobe) scan fraction. ``assigned`` is the
+    output of ``ivf_assign`` (or a table written partitioned by
+    ``ivf_list``, where the IN-filter becomes partition pruning)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probes]))
+    return cosine_topk(cand.drop("ivf_list"), query_vec, k, id_col, vec_col)
+
+
 def _sign_bucket(vec: Column, dims: list[int]) -> Column:
     """Bucket id from the sign bits of the chosen dimensions."""
     bit = F.lit(0).cast("long")

@@ -167,3 +167,63 @@ def test_multimodal_plumbing(dup_corpus):
     shas = {r["docid"]: r["sha"] for r in dup_corpus.select("docid", "sha").collect()}
     for r in feats:
         assert r["payload_sha"] == shas[r["docid"]]
+
+
+def test_fingerprints_rolling(dup_corpus):
+    """Scale-path fingerprint: same contract (identical content → identical
+    fingerprint), values match a plain-python rolling-hash reference."""
+    from mini_search_engine_spark.ops import fingerprints_rolling
+
+    got = {r["docid"]: r["fingerprint"] for r in fingerprints_rolling(dup_corpus).collect()}
+    assert got[0] == got[1]  # exact dup docs share the fingerprint
+    assert got[0] != got[3]
+
+    B, MASK, k = 1000003, (1 << 60) - 1, 5
+
+    def ref(t):
+        b = t.encode("utf-8")
+        if len(b) < k:
+            b = b + bytes(k - len(b))
+        best = None
+        for i in range(len(b) - k + 1):
+            h = 0
+            for c in b[i : i + k]:
+                h = (h * B + c) & 0xFFFFFFFFFFFFFFFF
+            h &= MASK
+            best = h if best is None else min(best, h)
+        return best
+
+    texts = {r["docid"]: r["content"] for r in dup_corpus.collect()}
+    for d, t in texts.items():
+        assert got[d] == ref(t), d
+
+
+def test_ivf_cosine_topk(vectors):
+    """IVF: full-probe equals the exact scan; partial probe keeps high
+    self-recall and returns a subset-restricted exact result."""
+    from mini_search_engine_spark.ops import (
+        cosine_topk,
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_fit_centroids,
+    )
+
+    cent = ivf_fit_centroids(vectors, n_centroids=8, n_iter=4)
+    assert cent.shape[0] == 8
+    assigned = ivf_assign(vectors, cent).cache()
+    # every vector lands in exactly one list; all lists in range
+    lists = {r["ivf_list"] for r in assigned.select("ivf_list").distinct().collect()}
+    assert lists <= set(range(8))
+
+    q = list(vectors.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    exact = [(r["vec_id"], round(r["cosine"], 6)) for r in cosine_topk(vectors, q, k=5).collect()]
+    # full probe == exact
+    full = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_cosine_topk(assigned, cent, q, k=5, nprobe=8).collect()
+    ]
+    assert full == exact
+    # partial probe: the query vector itself must be found (self-recall)
+    part = [r["vec_id"] for r in ivf_cosine_topk(assigned, cent, q, k=5, nprobe=2).collect()]
+    assert exact[0][0] in part
+    assigned.unpersist()
