@@ -99,6 +99,23 @@ def q_and(spark, sf_dir):
     return search_and(_index(spark, sf_dir), ["spark", "merge"])
 
 
+def q_and_segments(spark, sf_dir):
+    """Reference pre-merge AND semantics (quirk #4) over a 2-segment split
+    of the corpus; provably equals corpus-wide AND, so it shares the
+    and_search oracle — this entry hash-checks that equivalence."""
+    from mini_search_engine_spark.search import search_and_segments
+
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    segs = [
+        build_index(docs.filter(F.col("docid") < n // 2), analyzer=ANALYZER,
+                    block_span=BLOCK_SPAN),
+        build_index(docs.filter(F.col("docid") >= n // 2), analyzer=ANALYZER,
+                    block_span=BLOCK_SPAN),
+    ]
+    return search_and_segments(segs, ["spark", "merge"])
+
+
 def q_or(spark, sf_dir):
     return search_or(_index(spark, sf_dir), ["vector", "window"])
 
@@ -219,6 +236,25 @@ def q_embed_neardup(spark, sf_dir):
     return lsh_cosine_pairs(emb, threshold=0.35)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF index path end-to-end (fit quantizer → assign lists → probe);
+    probing ALL lists is provably the exact scan, so it shares the
+    ann_cosine oracle — the entry hash-checks the IVF plumbing."""
+    from mini_search_engine_spark.ops import (
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cent = ivf_fit_centroids(emb, n_centroids=8, n_iter=4)
+    out = ivf_cosine_topk(ivf_assign(emb, cent), cent, list(q), k=10, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
 def q_langid(spark, sf_dir):
     return language_id(load_documents(spark, sf_dir))
 
@@ -272,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "keyword_search": q_keyword,
         "and_search": q_and,
+        "and_search_segments": q_and_segments,
         "or_search": q_or,
         "phrase_search": q_phrase,
         "tfidf_topk": q_tfidf,
@@ -288,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "language_id": q_langid,
         "quality_scores": q_quality,
@@ -416,6 +454,11 @@ SELECT DISTINCT doc_id AS docid FROM tok WHERE term = 'spark' ORDER BY docid"""
 SELECT doc_id AS docid FROM tok WHERE term IN ('spark', 'merge')
 GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
 
+    # per-segment AND provably equals corpus-wide AND (a matching doc's own
+    # postings put every conjunct into its segment's dictionary) — the
+    # entry exists to hash-check that equivalence
+    sqls["and_search_segments"] = sqls["and_search"]
+
     sqls["or_search"] = f"""WITH {_TOK}
 SELECT DISTINCT doc_id AS docid FROM tok WHERE term IN ('vector', 'window') ORDER BY docid"""
 
@@ -525,6 +568,10 @@ d AS (
 )
 SELECT vec_id, round(dot / (sqrt(n2) * sqrt(q2)), 6) AS cosine
 FROM d ORDER BY round(dot / (sqrt(n2) * sqrt(q2)), 6) DESC, vec_id LIMIT 10"""
+
+    # IVF with nprobe == n_centroids is the exact scan by construction —
+    # same oracle; the entry hash-checks the fit/assign/probe plumbing
+    sqls["ann_ivf"] = sqls["ann_cosine"]
 
     sqls["embed_neardup"] = """
 WITH e AS (
