@@ -316,3 +316,34 @@ def test_term_filter_pushed_to_parquet_scan(index, tmp_path, spark):
 
     plan = _postings_for(idx, ["cat"])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "In(term, [cat])" in plan or "EqualTo(term,cat)" in plan, plan
+
+
+def test_fused_build_plan_has_no_exchange(corpus):
+    """The fused local_blocks plan must contain NO shuffle: content goes in,
+    posting blocks come out of one mapInArrow stage."""
+    from mini_search_engine_spark.index.build import _fused_blocked_postings
+
+    ranged = corpus.repartitionByRange(3, "docid")
+    plan = (
+        _fused_blocked_postings(ranged, block_span=4, compress=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only exchange allowed is the caller's own repartitionByRange
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "MapInArrow" in plan
+
+
+def test_bm25_plan_has_no_broadcast_exchange(index):
+    """Query-term weights are folded into the scoring expression as
+    literals; the exact BM25 plan must not build a broadcast exchange
+    (measured ~0.2-0.5 s of fixed latency per job)."""
+    plan = (
+        bm25_topk(index, ["cat", "dog"], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
