@@ -63,3 +63,58 @@ def test_stress_index_really_on_disk(stress_index):
         F.sum(F.octet_length("docids_bytes"))
     ).collect()[0][0]
     assert n_bytes and n_bytes > 1000
+
+
+def test_hot_term_blocks_bounded(spark):
+    """A stopword-grade term (present in EVERY doc) must fan out over
+    docid-range blocks — no posting row may exceed the block span, which
+    is the skew bound that keeps reducers and writers balanced at scale."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from pyspark.sql import functions as F
+
+    n = 2000
+    rows = [(i, f"hot filler{i % 7} words", "en", "t", 0) for i in range(n)]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    span = 256
+    idx = build_index(docs, analyzer="porter", block_span=span)
+    sizes = (
+        idx.postings.filter(F.col("term") == "hot")
+        .select(F.size("docids").alias("sz"))
+        .collect()
+    )
+    assert len(sizes) == n // span + (1 if n % span else 0)
+    assert all(r["sz"] <= span for r in sizes)
+    # fused path obeys the same bound
+    idx2 = build_index(
+        docs.repartitionByRange(4, "docid"),
+        analyzer="porter",
+        block_span=span,
+        local_blocks=True,
+    )
+    sizes2 = (
+        idx2.postings.filter(F.col("term") == "hot")
+        .select(F.size("docids").alias("sz"))
+        .collect()
+    )
+    assert all(r["sz"] <= span for r in sizes2)
+    assert sum(r["sz"] for r in sizes2) == n
+
+
+def test_empty_corpus_builds_and_queries(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.search import bm25_topk, search_and, search_keyword
+
+    empty = load_corpus(
+        spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    idx = build_index(empty, analyzer="porter", block_span=16)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert search_keyword(idx, "anything").count() == 0
+    assert search_and(idx, ["a", "b"]).count() == 0
+    assert bm25_topk(idx, ["anything"], 5).count() == 0
