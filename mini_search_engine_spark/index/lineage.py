@@ -97,12 +97,16 @@ def resumable_build(
         if n_docs_part == 0:
             row = {"pid": pid, "n_docs": 0, "n_postings": 0, "ts": time.time()}
         else:
+            # per-part builds take the fused shuffle-free path (the part IS
+            # a docid range; any sub-partitioning only yields split rows
+            # per (term, block), which every consumer re-aggregates)
             idx = build_index(
                 part_docs,
                 analyzer=analyzer,
                 positional=positional,
                 block_span=block_span,
                 compress=compress,
+                local_blocks=True,
             )
             # metrics: postings written, bytes before (4B/posting naive) vs
             # compressed bytes, hot terms (partition-local df over threshold)
