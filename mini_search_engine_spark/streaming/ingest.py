@@ -49,8 +49,15 @@ def ingest_stream(
         if batch_df.isEmpty():
             return
         docs = load_corpus(batch_df)
+        # fused shuffle-free segment build: a micro-batch is small and its
+        # (term, block) split rows union into the segmented index like any
+        # other segment — no exchange per trigger
         idx = build_index(
-            docs, analyzer=analyzer, positional=positional, block_span=block_span
+            docs,
+            analyzer=analyzer,
+            positional=positional,
+            block_span=block_span,
+            local_blocks=(analyzer == "porter"),
         )
         idx.postings.write.mode("overwrite").parquet(
             f"{index_path}/segments/seg={batch_id}/postings"
