@@ -83,27 +83,30 @@ def search_tfidf(
     terms = sorted(counts)
     dfm = _df_map(index, terms)
     n = index.n_docs
-    # term, query-weight, idf — tiny, broadcast
+    # term → (query-weight, idf) scalars folded into chained-CASE literals
+    # (same rationale as BM25: no broadcast-exchange build per query job)
     rows = [
         (t, counts[t] * (n / dfm[t]), n / dfm[t]) for t in terms if dfm.get(t)
     ]
     if not rows:
         return _empty_scored(index)
-    spark = index.postings.sparkSession
-    qvec = spark.createDataFrame(rows, "term string, qw double, idf double")
+    qw_expr = F.lit(0.0)
+    idf_expr = F.lit(0.0)
+    for t, qw, idf in rows:
+        qw_expr = F.when(F.col("term") == F.lit(t), F.lit(float(qw))).otherwise(qw_expr)
+        idf_expr = F.when(F.col("term") == F.lit(t), F.lit(float(idf))).otherwise(idf_expr)
 
     from dataclasses import replace as _rep
 
     filtered = index.postings.filter(F.col("term").isin(terms))
     filtered = _rep(index, postings=filtered).decoded().postings
+    tfidf = F.col("tf") * idf_expr
     scored = (
         _exploded(filtered)
-        .join(F.broadcast(qvec), "term")
-        .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .groupBy("docid")
         .agg(
-            F.sum(F.col("tfidf") * F.col("qw")).alias("dot"),
-            F.sum(F.col("tfidf") * F.col("tfidf")).alias("len2"),
+            F.sum(tfidf * qw_expr).alias("dot"),
+            F.sum(tfidf * tfidf).alias("len2"),
         )
         .select("docid", (F.col("dot") / F.sqrt(F.col("len2"))).alias("score"))
     )

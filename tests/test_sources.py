@@ -14,3 +14,25 @@ def test_tsv_sources(spark, tmp_path):
     edges = read_id_graph_tsv(spark, str(tmp_path / "id-graph.tsv"))
     assert edges.count() == 3
     assert edges.schema["src"].dataType.typeName() == "long"
+
+
+def test_load_corpus_num_partitions_doc_id_shape(spark):
+    """num_partitions must range-partition BOTH corpus shapes by docid
+    (ADVICE r1): contiguous docid ranges per partition."""
+    from mini_search_engine_spark.corpus import load_corpus
+
+    rows = [(i, f"text {i}", "en", "t", 0) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = load_corpus(df, num_partitions=4)
+    parts = out.select("docid").rdd.glom().collect()
+    ranges = sorted(
+        (min(r["docid"] for r in p), max(r["docid"] for r in p))
+        for p in parts
+        if p
+    )
+    # contiguous, non-overlapping docid ranges
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert sum(hi - lo + 1 for lo, hi in ranges) >= 100 - len(ranges)  # dense-ish
