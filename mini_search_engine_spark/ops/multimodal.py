@@ -87,6 +87,90 @@ def synthesize_media(docs: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize: derives a byte buffer of
+    the target 'pixel count' (÷64) from the payload digest — size-correct
+    output without an image library."""
+    target = max(1, (width * height) // 64)
+    h = hashlib.sha256(payload).digest()
+    reps = (target + len(h) - 1) // len(h)
+    return (h * reps)[:target]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resizer,
+) -> DataFrame:
+    """Resize every IMAGE payload to (width, height) via an Arrow-batched
+    mapInPandas; non-image rows pass through untouched. The transform is
+    pluggable (pass a PIL-backed callable in production); metadata is
+    rewritten to the new dimensions so downstream consumers see a
+    consistent (payload, meta) pair."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            is_img = pdf["media_type"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = [
+                resizer(p, width, height) for p in pdf.loc[is_img, "payload"]
+            ]
+            pdf.loc[is_img, "meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf.loc[is_img, "meta"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def fake_frame_extractor(payload: bytes, idx: int) -> bytes:
+    return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    extractor: Callable[[bytes, int], bytes] = fake_frame_extractor,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of VIDEO payloads → one row per
+    sampled frame (docid, frame_idx, frame_payload). Row-expanding
+    mapInPandas: one input batch yields a frame batch; the frame count
+    comes from the typed metadata (``meta.n_frames``), so the plumbing is
+    exactly what an ffmpeg-backed extractor would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            docids, idxs, frames = [], [], []
+            vid = pdf[pdf["media_type"] == "video"]
+            for _, r in vid.iterrows():
+                n = (r["meta"] or {}).get("n_frames") or 0
+                for i in range(0, int(n), every_n):
+                    docids.append(r["docid"])
+                    idxs.append(i)
+                    frames.append(extractor(r["payload"], i))
+            if docids:
+                yield pd.DataFrame(
+                    {"docid": docids, "frame_idx": idxs, "frame_payload": frames}
+                )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], list[float]] = fake_decoder,

@@ -227,3 +227,32 @@ def test_ivf_cosine_topk(vectors):
     part = [r["vec_id"] for r in ivf_cosine_topk(assigned, cent, q, k=5, nprobe=2).collect()]
     assert exact[0][0] in part
     assigned.unpersist()
+
+
+def test_multimodal_resize_and_frames(dup_corpus):
+    from mini_search_engine_spark.ops.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(dup_corpus)
+    types = {r["docid"]: r["media_type"] for r in media.collect()}
+
+    resized = {r["docid"]: r for r in resize_images(media, 64, 32).collect()}
+    for d, r in resized.items():
+        if types[d] == "image":
+            assert r["meta"]["width"] == 64 and r["meta"]["height"] == 32
+            assert len(r["payload"]) == (64 * 32) // 64
+        else:  # pass-through
+            assert r["media_type"] == types[d]
+
+    frames = sample_frames(media, every_n=2).collect()
+    metas = {r["docid"]: r["meta"]["n_frames"] for r in media.collect()}
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["docid"], []).append(r["frame_idx"])
+        assert len(r["frame_payload"]) == 32  # sha256 digest per frame
+    for d, idxs in by_doc.items():
+        assert types[d] == "video"
+        assert sorted(idxs) == list(range(0, metas[d], 2))
