@@ -285,6 +285,22 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_window_rank(spark, sf_dir):
+    """Window-function coverage (§2.6): top-3 longest docs per lang via
+    row_number over a partitioned ordered window."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.length("content")), F.asc("docid")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "docid", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_relational_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -332,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "events_window": q_events_window,
+        "window_rank": q_window_rank,
         "relational_agg": q_relational_agg,
     }
 
@@ -649,6 +666,14 @@ FROM documents"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+    sqls["window_rank"] = """
+WITH r AS (
+  SELECT lang, doc_id AS docid,
+         row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, docid, rn::BIGINT AS rn FROM r WHERE rn <= 3"""
 
     sqls["relational_agg"] = """
 SELECT l_returnflag, l_linestatus,
