@@ -117,8 +117,10 @@ def tokenize_docs(
 
     # Tokenization strategy by analyzer:
     # * 'porter' (the build hot path) ships RAW CONTENT to the Arrow kernel
-    #   and tokenizes with Arrow C++ (utf8_trim + utf8_lower +
-    #   split_pattern_regex — RE2, byte-identical on this char class).
+    #   and tokenizes with Arrow C++ (utf8_trim + split_pattern_regex — RE2,
+    #   byte-identical on this char class; lowercasing happens python-side
+    #   on the UNIQUE tokens because Arrow's utf8_lower uses the simple
+    #   Unicode mapping, which diverges from Java/Python on İ and final Σ).
     #   Shipping content instead of JVM-pretokenized token strings moves
     #   ~5-10× fewer bytes across the JVM↔Python Arrow channel (tokens
     #   repeat the content plus ~4 B of offset per token) — measured
@@ -176,13 +178,33 @@ def tokenize_docs(
                     ids[i] = j
                 return ids
 
+            def sid_for_cased(uniq):
+                """Lowercase + stopword-filter + stem the batch's UNIQUE
+                surface forms. Lowercasing happens HERE (python str.lower —
+                the full Unicode mapping incl. İ→i̇ and final sigma, matching
+                Java/the driver-side kernel) and not via Arrow's
+                ``utf8_lower`` (simple mapping — diverges on exactly those).
+                Splitting before lowercasing is safe: the split class is
+                case-invariant and no case mapping produces a split char.
+                → sid per unique, -1 for dropped (empty/stopword)."""
+                sid_u = np.full(len(uniq), -1, dtype=np.int64)
+                lowers = [u.lower() for u in uniq]
+                kept = [i for i, u in enumerate(lowers) if u and u not in STOP_WORDS]
+                if kept:
+                    sid_u[np.asarray(kept, dtype=np.int64)] = sid_for(
+                        [lowers[i] for i in kept]
+                    )
+                return sid_u
+
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
                 docids = rb.column("docid").to_numpy()
                 if stem:
-                    low = pc.utf8_lower(pc.utf8_trim(rb.column("content"), trim_chars))
-                    toks = pc.split_pattern_regex(low, PUNCT_SPLIT_PATTERN)
+                    toks = pc.split_pattern_regex(
+                        pc.utf8_trim(rb.column("content"), trim_chars),
+                        PUNCT_SPLIT_PATTERN,
+                    )
                 else:
                     toks = rb.column("toks")
                 raw_dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
@@ -194,16 +216,10 @@ def tokenize_docs(
                 uniq = dictenc.dictionary.to_pylist()
                 doc_idx = np.repeat(np.arange(len(docids), dtype=np.int64), raw_dl)
                 if stem:
-                    # empty/stopword drop at the UNIQUE level (the JVM path
-                    # pre-filters; here the split ran in Arrow): dropped
-                    # uniques map to sid -1, then one vectorized mask
-                    sid_u = np.full(len(uniq), -1, dtype=np.int64)
-                    kept = [i for i, u in enumerate(uniq) if u and u not in STOP_WORDS]
-                    if kept:
-                        sid_u[np.asarray(kept, dtype=np.int64)] = sid_for(
-                            [uniq[i] for i in kept]
-                        )
-                    token_sid = sid_u[codes]
+                    # lowercase + empty/stopword drop at the UNIQUE level
+                    # (the JVM path pre-filters; here the split ran in
+                    # Arrow): dropped uniques map to sid -1, one mask
+                    token_sid = sid_for_cased(uniq)[codes]
                     keep_mask = token_sid >= 0
                     doc_idx = doc_idx[keep_mask]
                     token_sid = token_sid[keep_mask]
@@ -558,6 +574,18 @@ def _fused_blocked_postings(
                 ids[i] = j
             return ids
 
+        def sid_for_cased(uniq):
+            # python str.lower on uniques (full Unicode mapping — see
+            # tokenize_docs.sid_for_cased for why NOT Arrow utf8_lower)
+            sid_u = np.full(len(uniq), -1, dtype=np.int64)
+            lowers = [u.lower() for u in uniq]
+            kept = [i for i, u in enumerate(lowers) if u and u not in STOP_WORDS]
+            if kept:
+                sid_u[np.asarray(kept, dtype=np.int64)] = sid_for(
+                    [lowers[i] for i in kept]
+                )
+            return sid_u
+
         acc_d: list = []
         acc_s: list = []
         acc_t: list = []
@@ -650,8 +678,9 @@ def _fused_blocked_postings(
             if rb.num_rows == 0:
                 continue
             docids = rb.column("docid").to_numpy()
-            low = pc.utf8_lower(pc.utf8_trim(rb.column("content"), trim_chars))
-            toks = pc.split_pattern_regex(low, PUNCT_SPLIT_PATTERN)
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim(rb.column("content"), trim_chars), PUNCT_SPLIT_PATTERN
+            )
             raw_dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
             flat = pc.list_flatten(toks)
             if len(flat) == 0:
@@ -659,12 +688,8 @@ def _fused_blocked_postings(
             de = flat.dictionary_encode()
             codes = de.indices.to_numpy().astype(np.int64)
             uniq = de.dictionary.to_pylist()
-            sid_u = np.full(len(uniq), -1, dtype=np.int64)
-            kept = [i for i, u in enumerate(uniq) if u and u not in STOP_WORDS]
-            if kept:
-                sid_u[np.asarray(kept, dtype=np.int64)] = sid_for([uniq[i] for i in kept])
             doc_idx = np.repeat(np.arange(len(docids), dtype=np.int64), raw_dl)
-            token_sid = sid_u[codes]
+            token_sid = sid_for_cased(uniq)[codes]
             m = token_sid >= 0
             doc_idx = doc_idx[m]
             token_sid = token_sid[m]

@@ -80,3 +80,35 @@ def test_word_break():
     with pytest.raises(WordBreakError):
         word_break_tokenize("xyz", d)
     assert word_break_tokenize("", d) == []
+
+
+def test_arrow_split_kernel_unicode_parity(spark):
+    """The Arrow C++ tokenize path (utf8_trim/lower/RE2 split) must match
+    the Python kernel on unicode content (Cyrillic, CJK, accents, emoji)."""
+    from collections import Counter
+
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import tokenize_docs
+    from mini_search_engine_spark.analysis.tokenizers import analyze
+
+    texts = [
+        "Привет мир ПРИВЕТ МИР",
+        "grüße STRASSE çöğüşı İstanbul",
+        "日本語のテキスト 中文文本 混合 mixed TEXT",
+        "emoji 🙂 here, and\taccents: café CAFÉ",
+        "   leading and trailing   ",
+    ]
+    rows = [(i, t, "xx", "t", 0) for i, t in enumerate(texts)]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    tf = tokenize_docs(docs, analyzer="porter")
+    got = {}
+    for r in tf.collect():
+        got[(r["docid"], r["term"])] = r["tf"]
+    for i, t in enumerate(texts):
+        exp = Counter(analyze(t, tokenizer="punctuation", stem=True))
+        mine = {k[1]: v for k, v in got.items() if k[0] == i}
+        assert mine == dict(exp), (i, t, mine, dict(exp))
