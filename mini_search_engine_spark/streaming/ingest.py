@@ -114,13 +114,12 @@ def streaming_exact_dedup(docs: DataFrame, content_col: str = "content") -> Data
     """Custom STATEFUL streaming operator: cross-batch exact deduplication.
 
     Keeps only the FIRST document ever seen per content hash — documents
-    whose sha256 appeared in any earlier micro-batch (or earlier in the
-    same batch) are dropped. State = the set of seen hashes, partitioned
-    by sha prefix via ``applyInPandasWithState`` (GroupState per prefix
-    group, Arrow-batched); the grouping key is a 2-hex-char sha prefix so
-    state spreads over 256 well-balanced groups instead of one per hash
-    (hash-per-key state rows would be fine too — this keeps the state
-    store compact and the per-trigger group count bounded).
+    whose sha256 appeared in any earlier micro-batch (or elsewhere in the
+    same batch; lowest docid wins) are dropped. Grouping key = the sha
+    itself via ``applyInPandasWithState``: state is a single boolean per
+    distinct hash (O(1) rows per key, the shape RocksDB-backed state
+    stores scale to), per-trigger group count is bounded by the batch's
+    distinct hashes, and the in-batch winner is deterministic (min docid).
 
     The training-data-pipeline use: continuous ingest where an exact
     duplicate of ANYTHING seen before must not enter the corpus. Batch
@@ -129,25 +128,25 @@ def streaming_exact_dedup(docs: DataFrame, content_col: str = "content") -> Data
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    keyed = docs.withColumn("sha", F.sha2(F.col(content_col), 256)).withColumn(
-        "sha_prefix", F.substring("sha", 1, 2)
-    )
-    out_schema = keyed.drop("sha_prefix").schema
-    state_schema = "seen array<string>"
+    keyed = docs.withColumn("sha", F.sha2(F.col(content_col), 256))
+    out_schema = keyed.schema
+    state_schema = "seen boolean"
 
     def dedup_group(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
         import pandas as pd
 
+        if state.exists:
+            return  # hash seen in an earlier batch — drop all rows
+        first = None
         for pdf in pdfs:
-            pdf = pdf.sort_values("docid")
-            fresh = pdf[~pdf["sha"].isin(seen) & ~pdf["sha"].duplicated()]
-            seen.update(fresh["sha"].tolist())
-            if len(fresh):
-                yield fresh.drop(columns=["sha_prefix"])
-        state.update((sorted(seen),))
+            cand = pdf.sort_values("docid").head(1)
+            if first is None or cand["docid"].iloc[0] < first["docid"].iloc[0]:
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield first
 
-    return keyed.groupBy("sha_prefix").applyInPandasWithState(
+    return keyed.groupBy("sha").applyInPandasWithState(
         dedup_group,
         outputStructType=out_schema,
         stateStructType=state_schema,
