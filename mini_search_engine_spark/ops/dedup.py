@@ -61,17 +61,28 @@ def bucket_pairs(
     id_col: str,
     out_a: str,
     out_b: str,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """→ distinct (out_a, out_b) with a < b, for ids sharing any bucket key.
 
     ``keyed`` has one row per (bucket key, id). Pairs are enumerated inside
     each bucket from the sorted id list — a single groupBy on the
-    (hash-distributed) key, no self-join, no persist."""
+    (hash-distributed) key, no self-join, no persist.
+
+    ``max_bucket`` (None = exact) SKIPS buckets larger than the cap — the
+    standard LSH guard against degenerate buckets: an m-id bucket yields
+    m(m-1)/2 pairs under ANY formulation, so a million-way near-identical
+    cluster is quadratic work no candidate generator can avoid; such
+    clusters belong to ``exact_dedup`` (one groupBy) first. With a cap the
+    result is a documented under-approximation; leave None when exactness
+    vs the all-pairs oracle is required."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -151,6 +162,7 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     shingle_k: int = 3,
     content_col: str = "content",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """→ (docid_a, docid_b) distinct pairs (a < b) sharing ≥1 LSH band.
 
@@ -158,7 +170,9 @@ def minhash_candidate_pairs(
     band-table self-join — one groupBy shuffle total downstream of the
     signatures, and no cached intermediate."""
     bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col)
-    return bucket_pairs(bands, ["band", "band_key"], "docid", "docid_a", "docid_b")
+    return bucket_pairs(
+        bands, ["band", "band_key"], "docid", "docid_a", "docid_b", max_bucket
+    )
 
 
 def simhash(
