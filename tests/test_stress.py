@@ -118,3 +118,46 @@ def test_empty_corpus_builds_and_queries(spark):
     assert search_keyword(idx, "anything").count() == 0
     assert search_and(idx, ["a", "b"]).count() == 0
     assert bm25_topk(idx, ["anything"], 5).count() == 0
+
+
+def test_ics_style_end_to_end(spark):
+    """Reference end-to-end shape (IcsSearchEngineTest.java:33-54): build
+    the index, run PageRank(100) over the link graph, answer combined
+    tfidf+pagerank queries — all inside the reference's 900 s budget
+    (sf0.001 corpus here; the reference used ~selected ICS webpages)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_search_engine_spark.corpus import load_documents
+    from mini_search_engine_spark.search import search_tfidf
+    from mini_search_engine_spark.search.pagerank import combined_search, pagerank
+
+    t0 = time.time()
+    docs = load_documents(spark, "/root/testdata/sf0.001").cache()
+    n = docs.count()
+    idx = build_index(docs, analyzer="porter", compress=True)
+    edges = docs.select(
+        F.col("docid").alias("src"), ((F.col("docid") * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        docs.select(F.col("docid").alias("src"), ((F.col("docid") * 13 + 5) % n).alias("dst"))
+    )
+    pr = pagerank(edges, num_iter=100, nodes=docs.select("docid"))
+    n_ranked = pr.count()
+    assert n_ranked == n
+    for q in (["spark"], ["merge", "index"]):
+        scored = search_tfidf(idx, q, topk=None)
+        top = combined_search(scored, pr, weight=1.0, topk=10).collect()
+        assert 0 < len(top) <= 10
+        scores = [r["combined"] for r in top]
+        assert scores == sorted(scores, reverse=True)
+    # weight=0 ≡ pure tf-idf ranking (IcsSearchEngineTest.java:121-136)
+    scored = search_tfidf(idx, ["spark"], topk=None)
+    w0 = [r["docid"] for r in combined_search(scored, pr, weight=0.0, topk=10).collect()]
+    t10 = [r["docid"] for r in scored.orderBy(F.desc("score"), F.asc("docid")).limit(10).collect()]
+    assert w0 == t10
+    wall = time.time() - t0
+    assert wall < 900, f"end-to-end took {wall:.0f}s"
+    idx.unpersist()
+    pr.unpersist()
+    docs.unpersist()
