@@ -106,11 +106,9 @@ def main():
     ranged.unpersist()
     shutil.rmtree(fpath, ignore_errors=True)
 
-    idx = read_index(spark, idx_path)
-    # warm the postings/doclens cache the way a serving cluster would
-    idx.postings.cache().count()
-    idx.doclens.cache().count()
-    idx.termstats.cache().count()
+    # serving mode: decode once, pin decoded postings + stats (see
+    # InvertedIndex.warm) — queries run pure JVM with no codec round trip
+    idx = read_index(spark, idx_path).warm()
 
     def timed(name, fn):
         # min-of-2: this box's wall times jitter up to 2x in noise windows;

@@ -82,6 +82,19 @@ class InvertedIndex:
             ).drop("positions_bytes")
         return replace(self, postings=p, compressed=False)
 
+    def warm(self) -> "InvertedIndex":
+        """Serving mode: decode the codec columns ONCE and pin the decoded
+        postings (plus doclens/termstats) in the cache, so every query is
+        pure JVM work — no per-query codec UDF round trip. This is the
+        memory/latency trade a serving cluster makes; batch pipelines keep
+        the compressed form and decode per scan. The returned index OWNS
+        the caches (release via ``.unpersist()``)."""
+        idx = self.decoded()
+        idx.postings.persist().count()
+        idx.doclens.persist().count()
+        idx.termstats.persist().count()
+        return idx
+
 
 def tokenize_docs(
     docs: DataFrame, analyzer: str = "porter", positional: bool = False

@@ -174,6 +174,13 @@ def test_compressed_roundtrip_index(corpus):
     got = sorted((d, t) for r in rows for d, t in zip(r["docids"], r["tfs"]))
     assert got == [(0, 2), (2, 1), (7, 4)]
     assert ids(bm25_topk(idx, ["cat"], topk=3)) == [7, 0, 2]
+    # warm (decode-once serving) index answers identically, pure JVM
+    warm = idx.warm()
+    assert not warm.compressed
+    assert ids(bm25_topk(warm, ["cat"], topk=3)) == [7, 0, 2]
+    assert ids(search_and(warm, ["cat", "dog"])) == [0, 2, 7]
+    warm.unpersist()
+    idx.unpersist()
 
 
 def test_write_read_roundtrip(index, corpus, tmp_path, spark):
