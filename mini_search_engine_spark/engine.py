@@ -86,6 +86,10 @@ class MiniSearchEngine:
     def save(self, path: str) -> None:
         write_index(self.index, path)
 
+    def warm(self) -> "MiniSearchEngine":
+        """Serving mode: decode-once + pin (see ``InvertedIndex.warm``)."""
+        return MiniSearchEngine(self.index.warm(), corpus=self.corpus)
+
     # ---- queries (reference names, snake_case) ----------------------------
     def search_query(self, keyword: str) -> DataFrame:
         return search_keyword(self.index, keyword)
