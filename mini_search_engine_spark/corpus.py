@@ -96,12 +96,16 @@ def load_corpus(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     if {"doc_id", "text"} <= cols:
         out = df.withColumnRenamed("doc_id", "docid").withColumnRenamed("text", "content")
         out = out.withColumn("docid", F.col("docid").cast("long"))
+        # canonical invariant: content is never NULL (the reference's
+        # Document requires non-null text; NULL → empty doc, dl 0)
+        out = out.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
         if num_partitions is not None:
             # honor the partitioning promise for this shape too: contiguous
             # docid ranges per partition, as local_blocks=True expects
             out = out.repartitionByRange(num_partitions, "docid")
     elif {"repo", "path", "content"} <= cols:
         out = assign_docids(df, ["repo", "path"], num_partitions=num_partitions)
+        out = out.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
     else:
         raise ValueError(f"unrecognized corpus schema: {sorted(cols)}")
     return with_sha(out)

@@ -146,12 +146,13 @@ def tokenize_docs(
     #   whole-stage codegen (and Spark's own `lower`) is the point.
     native = analyzer in ("punct_nostem", "naive", "porter")
     stem = analyzer == "porter"
+    nn_content = F.coalesce(F.col("content"), F.lit(""))  # NULL-safe
     if stem:
-        src = docs.select("docid", "content")
+        src = docs.select("docid", nn_content.alias("content"))
     elif native:
-        src = docs.select("docid", ANALYZERS[analyzer](F.col("content")).alias("toks"))
+        src = docs.select("docid", ANALYZERS[analyzer](nn_content).alias("toks"))
     else:
-        src = docs.select("docid", "content")
+        src = docs.select("docid", nn_content.alias("content"))
 
     if native:
         # Arrow kernel: the token STREAM never touches Python objects.
@@ -330,9 +331,8 @@ def doc_lengths(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
     'porter' doc length equals the native (JVM-side, codegen) tokenizer's
     ``size()`` — a narrow scan with no Python, no shuffle, no join."""
     base = "punct_nostem" if analyzer == "porter" else analyzer
-    return docs.select(
-        "docid", F.size(analyze_col(F.col("content"), base)).alias("dl")
-    )
+    c = F.coalesce(F.col("content"), F.lit(""))  # size(null) would be -1
+    return docs.select("docid", F.size(analyze_col(c, base)).alias("dl"))
 
 
 MIN_BLOCK_SPAN = 256
@@ -739,7 +739,9 @@ def _fused_blocked_postings(
         if acc_n:
             yield emit()
 
-    return docs.select("docid", "content").mapInArrow(fused, schema=schema)
+    return docs.select(
+        "docid", F.coalesce(F.col("content"), F.lit("")).alias("content")
+    ).mapInArrow(fused, schema=schema)
 
 
 def build_index(

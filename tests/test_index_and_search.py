@@ -354,3 +354,26 @@ def test_bm25_plan_has_no_broadcast_exchange(index):
     )
     assert "BroadcastExchange" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_null_content_builds_as_empty_doc(spark):
+    """NULL text canonicalizes to an empty document (dl 0, no postings) on
+    BOTH build paths — the reference requires non-null text; the engine
+    degrades gracefully instead of crashing an executor."""
+    rows = [
+        (0, "cat dog", "en", "t", 0),
+        (1, None, "en", "t", 0),
+        (2, "dog bird", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    for lb in (False, True):
+        src = docs.repartitionByRange(2, "docid") if lb else docs
+        idx = build_index(src, analyzer="porter", block_span=4, local_blocks=lb)
+        dls = {r["docid"]: r["dl"] for r in idx.doclens.collect()}
+        assert dls == {0: 2, 1: 0, 2: 2}
+        assert ids(search_keyword(idx, "dog")) == [0, 2]
+        assert idx.n_docs == 3
