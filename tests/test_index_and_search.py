@@ -377,3 +377,24 @@ def test_null_content_builds_as_empty_doc(spark):
         assert dls == {0: 2, 1: 0, 2: 2}
         assert ids(search_keyword(idx, "dog")) == [0, 2]
         assert idx.n_docs == 3
+
+
+def test_local_blocks_non_porter_path(spark):
+    """Non-porter analyzers take the legacy sorted-Arrow local path (the
+    fused kernel is porter-only); posting parity with the exchange build."""
+    rows = [(i, f"alpha beta doc{i % 3}", "en", "t", 0) for i in range(10)]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).repartitionByRange(3, "docid")
+    a = build_index(docs, analyzer="naive", block_span=4)
+    b = build_index(docs, analyzer="naive", block_span=4, local_blocks=True)
+
+    def pd_(idx):
+        out = {}
+        for r in idx.decoded().postings.collect():
+            out.setdefault(r["term"], []).extend(zip(r["docids"], r["tfs"]))
+        return {t: sorted(v) for t, v in out.items()}
+
+    assert pd_(a) == pd_(b)
