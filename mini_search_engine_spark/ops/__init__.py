@@ -18,6 +18,8 @@ from mini_search_engine_spark.ops.ann import (
     ivf_fit_centroids,
     lsh_cosine_pairs,
     lsh_cosine_topk,
+    read_ivf_index,
+    write_ivf_index,
 )
 from mini_search_engine_spark.ops.textstats import (
     language_id,
@@ -38,6 +40,8 @@ __all__ = [
     "ivf_assign",
     "ivf_cosine_topk",
     "ivf_fit_centroids",
+    "read_ivf_index",
+    "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
     "language_id",

@@ -221,6 +221,18 @@ def ivf_assign(
     return vectors.withColumn("ivf_list", _assign(F.col(vec_col)))
 
 
+def write_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an ``ivf_assign`` output partitioned by list id: a probe's
+    ``ivf_list IN (...)`` filter becomes Hive-style partition pruning
+    (PartitionFilters on the scan), so a query touches only its probed
+    lists' files — the on-disk realization of the IVF inverted file."""
+    assigned.write.mode(mode).partitionBy("ivf_list").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_cosine_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

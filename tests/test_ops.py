@@ -256,3 +256,25 @@ def test_multimodal_resize_and_frames(dup_corpus):
     for d, idxs in by_doc.items():
         assert types[d] == "video"
         assert sorted(idxs) == list(range(0, metas[d], 2))
+
+
+def test_ivf_partition_pruning(vectors, tmp_path, spark):
+    """An on-disk IVF index partitioned by list id must prune partitions at
+    the scan for a probe query (PartitionFilters), and return the same
+    answer as the in-memory assignment."""
+    from mini_search_engine_spark.ops import ivf_assign, ivf_cosine_topk, ivf_fit_centroids
+    from mini_search_engine_spark.ops.ann import read_ivf_index, write_ivf_index
+
+    cent = ivf_fit_centroids(vectors, n_centroids=8, n_iter=4)
+    assigned = ivf_assign(vectors, cent)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+    disk = read_ivf_index(spark, path)
+
+    q = list(vectors.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    mem = [r["vec_id"] for r in ivf_cosine_topk(assigned, cent, q, k=5, nprobe=2).collect()]
+    dsk_df = ivf_cosine_topk(disk, cent, q, k=5, nprobe=2)
+    dsk = [r["vec_id"] for r in dsk_df.collect()]
+    assert dsk == mem
+    plan = dsk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan
