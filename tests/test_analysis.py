@@ -30,6 +30,21 @@ PORTER_GOLDENS = [
      "inform retriev is the activ of obtain inform system resourc relev to an inform need from a collect"),
     ("rate roll sky feed bled sing caress 1234", "rate roll sky feed bled sing caress 1234"),
     ("caresses ponies cats", "caress poni cat"),
+    # Team19-23 golden sentences
+    ("He is an old man who fished alone in a skiff in the Gulf Stream and he had gone twenty-two weeks without taking a fish",
+     "He is an old man who fish alon in a skiff in the Gulf Stream and he had gone twenty-two week without take a fish"),
+    ("ties dogs caress need agreed disabled fitting making missing meeting meetings",
+     "ti dog caress need agre disabl fit make miss meet meet"),
+    ("organization organizer international responsibility fitness",
+     "organ organ intern respons fit"),
+    ("department humorousness dependence helpfulness analytical despotism",
+     "depart humor depend help analyt despot"),
+    ("hopefully the refrigerator start working again in that chen li made some adjustment with carefulness",
+     "hopefulli the refriger start work again in that chen li made some adjust with care"),
+    ("the allowance of collaboration between media and tech company help activate the revival of journalism",
+     "the allow of collabor between media and tech compani help activ the reviv of journal"),
+    ("conflated troubled sized hopping fizzed failing filing",
+     "conflat troubl size hop fizz fail file"),
 ]
 
 
