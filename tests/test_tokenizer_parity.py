@@ -37,3 +37,34 @@ def test_native_punct_edge_cases(spark):
     got = df.select("docid", "content", analyze_col(F.col("content"), "punct_nostem").alias("t")).collect()
     for r in got:
         assert list(r["t"]) == punctuation_tokenize(r["content"]), (r["docid"], list(r["t"]))
+
+
+# Team1PunctuationTokenizerTest goldens: (input, expected tokens) pairs,
+# asserted against BOTH the python kernel and the native Spark column
+TEAM1_PUNCT_GOLDENS = [
+    ("uci cs221\tinformation\nretrieval", ["uci", "cs221", "information", "retrieval"]),
+    ("uci,cs221.information;retrieval?project!1",
+     ["uci", "cs221", "information", "retrieval", "project", "1"]),
+    ("uci~cs221/information>retrieval", ["uci~cs221/information>retrieval"]),
+    ("UciCS221InformationRetrieval", ["ucics221informationretrieval"]),
+    ("uci \tcs221\t\ninformation\n \tretrieval", ["uci", "cs221", "information", "retrieval"]),
+    ("uci,.cs221.;information;?retrieval?!project!,.1",
+     ["uci", "cs221", "information", "retrieval", "project", "1"]),
+]
+
+
+def test_team1_punct_goldens(spark):
+    for text, expected in TEAM1_PUNCT_GOLDENS:
+        assert punctuation_tokenize(text) == expected, text
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(TEAM1_PUNCT_GOLDENS)],
+        "docid long, content string",
+    )
+    got = {
+        r["docid"]: list(r["t"])
+        for r in df.select(
+            "docid", analyze_col(F.col("content"), "punct_nostem").alias("t")
+        ).collect()
+    }
+    for i, (_, expected) in enumerate(TEAM1_PUNCT_GOLDENS):
+        assert got[i] == expected, i
