@@ -53,12 +53,16 @@ BLOCK_SPAN = 1 << 16
 _STOP_IN = ", ".join(f"'{w}'" for w in STOP_WORDS_SORTED)
 
 # tokenized documents fragment (shared by many oracles) — replicates
-# PunctuationTokenizer exactly: trim → lower → regex split → drop '' → drop stopwords
+# PunctuationTokenizer exactly: trim → lower → regex split → drop '' → drop
+# stopwords. The trim is Java String.trim (every char ≤ U+0020, expressed as
+# an anchored RE2 class — DuckDB's trim() strips only spaces), matching the
+# engine's btrim/strip(JAVA_TRIM_CHARS) paths.
+_JTRIM = r"regexp_replace(text, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')"
 _TL = f"""
 tl AS (
   SELECT doc_id,
          list_filter(
-           regexp_split_to_array(lower(trim(text)), '{PUNCT_SPLIT_PATTERN}'),
+           regexp_split_to_array(lower({_JTRIM}), '{PUNCT_SPLIT_PATTERN}'),
            x -> x <> '' AND x NOT IN ({_STOP_IN})
          ) AS toks
   FROM documents

@@ -76,8 +76,10 @@ def main():
         idx = build_index(docs, analyzer="porter", positional=True, compress=True)
         write_index(idx, idx_path)
         build_sec = min(build_sec, time.time() - t0)
-        if _ == 0:
-            idx.unpersist()
+        # release EVERY iteration's caches — the serving measurements below
+        # re-read the index from disk, and a leaked full index cache would
+        # compete with them for executor memory
+        idx.unpersist()
     timings["index_build"] = build_sec
 
     # flagship scale path: the SAME positional+compressed index via the

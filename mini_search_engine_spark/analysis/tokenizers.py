@@ -30,6 +30,12 @@ from mini_search_engine_spark.analysis.stopwords import STOP_WORDS
 
 # Literal caret and \v (\x0b) intentionally inside the class — see reference.
 PUNCT_SPLIT_RE = re.compile(r"[,.;?! ^\f\n\r\t\x0b]")
+# Java String.trim removes every char ≤ U+0020 from both ends — NOT the same
+# set as Python str.strip() (all Unicode whitespace, e.g. NBSP, but not
+# control chars ≤ 0x08) or Spark F.trim (the single space char). Every
+# tokenization path — this kernel, the native Catalyst column, the fused
+# Arrow build kernel — trims exactly this set so dl/terms agree everywhere.
+JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
 # The same pattern for engines that take a regex string (Spark F.split, DuckDB).
 PUNCT_SPLIT_PATTERN = "[,.;?! ^\\f\\n\\r\\t\\x0B]"
 
@@ -39,7 +45,7 @@ NAIVE_SPLIT_RE = re.compile(r"\s+")
 def punctuation_tokenize(text: str | None) -> list[str]:
     if not text:
         return []
-    toks = PUNCT_SPLIT_RE.split(text.strip().lower())
+    toks = PUNCT_SPLIT_RE.split(text.strip(JAVA_TRIM_CHARS).lower())
     return [t for t in toks if t and t not in STOP_WORDS]
 
 
@@ -103,7 +109,7 @@ def word_break_logp(
     """
     if not text:
         return []
-    s = text.strip().lower()
+    s = text.strip(JAVA_TRIM_CHARS).lower()  # Java String.trim semantics
     n = len(s)
     if n == 0:
         return []

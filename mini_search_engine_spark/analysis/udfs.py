@@ -25,6 +25,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from mini_search_engine_spark.analysis.stopwords import STOP_WORDS_SORTED
 from mini_search_engine_spark.analysis.tokenizers import (
+    JAVA_TRIM_CHARS,
     PUNCT_SPLIT_PATTERN,
     analyze,
 )
@@ -33,8 +34,11 @@ from mini_search_engine_spark.analysis.tokenizers import (
 def _punct_tokens_native(col: Column) -> Column:
     """PunctuationTokenizer as pure Catalyst: trim → lower → regex split →
     drop empties → drop stopwords. ``isin`` over the 127-word list compiles
-    to an InSet hash probe."""
-    toks = F.split(F.lower(F.trim(col)), PUNCT_SPLIT_PATTERN)
+    to an InSet hash probe. The trim is ``btrim`` over the Java
+    ``String.trim`` char set (every char ≤ U+0020) — NOT ``F.trim`` (space
+    only) — so dl/terms agree byte-for-byte with the Python kernel and the
+    fused Arrow build on control-char-edged content."""
+    toks = F.split(F.lower(F.btrim(col, F.lit(JAVA_TRIM_CHARS))), PUNCT_SPLIT_PATTERN)
     return F.filter(toks, lambda t: (t != F.lit("")) & ~t.isin(*STOP_WORDS_SORTED))
 
 

@@ -55,13 +55,19 @@ class InvertedIndex:
     tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
 
     def unpersist(self) -> None:
-        """Release the build-side persists (postings + token frame). Needed
-        when building repeatedly in one session: Spark's cache manager
-        matches by logical plan, so a later identical build would silently
-        reuse this build's cache."""
+        """Release EVERY cache this index owns: build-side persists
+        (postings + token frame) and the serving-mode pins ``warm()`` takes
+        on doclens/termstats. Needed when building repeatedly in one
+        session (Spark's cache manager matches by logical plan, so a later
+        identical build would silently reuse this build's cache) and when
+        retiring a warm serving index (doclens/termstats are O(n_docs) /
+        O(vocab) and would otherwise leak for the session lifetime)."""
         self.postings.unpersist()
         if self.tf is not None:
             self.tf.unpersist()
+        for df in (self.doclens, self.termstats):
+            if df is not None and df.is_cached:
+                df.unpersist()
 
     def decoded(self) -> "InvertedIndex":
         """Return a view with docids/tfs decoded from the codec columns."""

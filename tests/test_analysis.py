@@ -127,3 +127,56 @@ def test_arrow_split_kernel_unicode_parity(spark):
         exp = Counter(analyze(t, tokenizer="punctuation", stem=True))
         mine = {k[1]: v for k, v in got.items() if k[0] == i}
         assert mine == dict(exp), (i, t, mine, dict(exp))
+
+
+def test_java_trim_parity_across_paths(spark):
+    """All tokenization paths use Java String.trim semantics (strip every
+    char <= U+0020, keep NBSP & friends): python kernel == native Catalyst
+    column == fused Arrow build == doc_lengths, on control-char/NBSP-edged
+    content (ADVICE r2 item 2)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mini_search_engine_spark.analysis.tokenizers import analyze, punctuation_tokenize
+    from mini_search_engine_spark.analysis.udfs import analyze_col
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index, doc_lengths
+
+    texts = [
+        "\x01 x hello  world\x1f",   # control-char edges, NBSP kept
+        "\x00\x08ctrl\x0e\x1fedge\x00",          # chars python str.strip() keeps
+        "  nbsp only ",           # unicode ws python strips, Java keeps
+        "\t\n  plain  \r\x0b",                    # chars everyone strips
+        "inner\x01ctrl stays",
+    ]
+    # python kernel expectation (now the Java-trim reference semantics)
+    exp_toks = {i: punctuation_tokenize(t) for i, t in enumerate(texts)}
+    assert exp_toks[0][0] == " x"  # NBSP survives Java trim
+    assert exp_toks[2] == ["  nbsp", "only "]
+
+    rows = [(i, t, "xx", "t", 0) for i, t in enumerate(texts)]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    # native Catalyst column (punct_nostem)
+    got_native = {
+        r["docid"]: list(r["toks"])
+        for r in docs.select("docid", analyze_col(F.col("content"), "punct_nostem").alias("toks")).collect()
+    }
+    assert got_native == exp_toks
+    # doc_lengths (porter routes through the native tokenizer)
+    dls = {r["docid"]: r["dl"] for r in doc_lengths(docs, "porter").collect()}
+    assert dls == {i: len(v) for i, v in exp_toks.items()}
+    # fused Arrow build: postings tf per doc must match the stemmed kernel
+    idx = build_index(docs, analyzer="porter", local_blocks=True)
+    level = idx.decoded().postings
+    got = Counter()
+    for r in level.select("docids", "tfs").collect():
+        for d, tf in zip(r["docids"], r["tfs"]):
+            got[d] += tf
+    exp_counts = {i: len(analyze(t, tokenizer="punctuation", stem=True)) for i, t in enumerate(texts)}
+    assert {k: v for k, v in got.items()} == {k: v for k, v in exp_counts.items() if v}
+    idx.unpersist()
