@@ -95,20 +95,52 @@ def search_and_segments(
     if any(not tl for tl in term_lists):
         return _empty_docids(segments[0])  # reference `:941-945`
     terms = sorted({t for tl in term_lists for t in tl})
-    outs = []
-    for seg in segments:
-        present = (
-            seg.termstats.filter(F.col("term").isin(terms)).select("term").count()
+    # ONE probe job over the UNIONED postings scans (per-segment conjunct
+    # coverage via countDistinct), not a driver job per segment — at
+    # hundreds of streaming segments the per-segment probe loop is
+    # O(segments) scheduling round trips per query (VERDICT r2 item 4).
+    # The probe reads postings, not termstats: termstats is itself an
+    # aggregation per segment, so a union of termstats would materialize
+    # one AQE query stage (= one job) PER SEGMENT; postings term-presence
+    # is the same dictionary fact from a plain pruned scan, so the union
+    # has a single exchange regardless of segment count (asserted in
+    # tests/test_reference_parity.py).
+    stats = None
+    for i, seg in enumerate(segments):
+        s = seg.postings.filter(F.col("term").isin(terms)).select(
+            F.lit(i).alias("_seg"), "term"
         )
-        if present < len(terms):
-            continue  # segment-miss: contributes nothing (`:968-973`)
-        outs.append(search_and(seg, keywords))
-    if not outs:
+        stats = s if stats is None else stats.unionByName(s)
+    surviving = {
+        r["_seg"]
+        for r in (
+            stats.groupBy("_seg")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .collect()
+        )
+    }
+    if not surviving:
         return _empty_docids(segments[0])
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.distinct().orderBy("docid")
+    # one unioned postings plan over the surviving segments: docids are
+    # global and each doc's postings live in exactly one segment, so the
+    # corpus-wide groupBy(docid) conjunct count over the union is the
+    # per-segment AND (asserted equal in tests/test_reference_parity.py)
+    posts = None
+    for i, seg in enumerate(segments):
+        if i not in surviving:
+            continue  # segment-miss: contributes nothing (`:968-973`)
+        p = _postings_for(seg, terms).select("term", "docids")
+        posts = p if posts is None else posts.unionByName(p)
+    n = len(terms)
+    return (
+        posts.select("term", F.explode("docids").alias("docid"))
+        .groupBy("docid")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == n)
+        .select("docid")
+        .orderBy("docid")
+    )
 
 
 def search_or(index: InvertedIndex, keywords: list[str]) -> DataFrame:

@@ -195,3 +195,50 @@ def test_team5_per_segment_document_frequency(spark):
     assert merged.n_docs == 6
     dfm = {r["term"]: r["df"] for r in merged.termstats.collect()}
     assert dfm["cat"] == 6 and dfm["dog"] == 4 and dfm["toi"] == 4 and dfm["dot"] == 2
+
+
+def test_and_segments_job_count_constant_in_segments(spark):
+    """The segmented-AND path issues ONE probe job + ONE postings plan
+    regardless of segment count (VERDICT r2 item 4) — job count with 4
+    segments must not exceed job count with 2."""
+    from mini_search_engine_spark.search import search_and_segments
+
+    def make_segs(n_segs):
+        segs, off = [], 0
+        for s in range(n_segs):
+            texts = [f"cat dog seg{s} filler", "dog bone here", "cat bone there"]
+            rows = [(off + i, t, "en", "t", len(t)) for i, t in enumerate(texts)]
+            segs.append(
+                build_index(
+                    load_corpus(
+                        spark.createDataFrame(
+                            rows,
+                            "doc_id long, text string, lang string, source string, n_chars long",
+                        )
+                    ),
+                    analyzer="porter",
+                    block_span=4,
+                )
+            )
+            off += len(texts)
+        for seg in segs:
+            seg.postings.count()  # materialize build caches OUTSIDE the group
+        return segs
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(n_segs):
+        segs = make_segs(n_segs)
+        group = f"andseg-{n_segs}"
+        sc.setJobGroup(group, group)
+        try:
+            search_and_segments(segs, ["cat", "bone"]).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        for seg in segs:
+            seg.unpersist()
+        return len(tracker.getJobIdsForGroup(group))
+
+    j2, j4 = jobs_for(2), jobs_for(4)
+    assert j4 <= j2, (j2, j4)
