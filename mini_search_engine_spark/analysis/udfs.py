@@ -67,6 +67,74 @@ ANALYZERS: dict[str, Callable[[Column], Column]] = {
     "naive": _naive_tokens_native,
 }
 
+# word-break analyzers registered at runtime: name -> (logp dict, max word
+# len). The reference composes WordBreakTokenizer into the index via
+# ComposableAnalyzer (``analysis/ComposableAnalyzer.java:8-24``); here the
+# same composability is a registry entry — ``register_wordbreak_analyzer``
+# wires a frequency dictionary in as analyzer ``name`` for analyze_col,
+# analyze_query AND build_index (tokenize_docs has a dedicated batch path).
+WORDBREAK_ANALYZERS: dict[str, tuple[dict[str, float], int]] = {}
+
+
+def register_wordbreak_analyzer(
+    prob_dict: dict[str, float], name: str = "wordbreak", stem: bool = False
+) -> str:
+    """Register a word-break frequency dictionary (``load_frequency_dict``
+    output — any ``word freq`` source, e.g. the reference's public 82k-entry
+    EN / 45k-entry JP dictionaries) as a first-class analyzer ``name``.
+    ``stem=True`` additionally Porter-stems each segment, mirroring
+    ``ComposableAnalyzer(WordBreakTokenizer, PorterStemmer)``."""
+    from mini_search_engine_spark.analysis.tokenizers import prepare_logprob_dict
+
+    logp, max_word = prepare_logprob_dict(prob_dict)
+    WORDBREAK_ANALYZERS[name] = (logp, max_word)
+    _WORDBREAK_STEM[name] = stem
+    ANALYZERS[name] = lambda c: _wordbreak_registered_col(c, name)
+    return name
+
+
+_WORDBREAK_STEM: dict[str, bool] = {}
+_WB_BROADCASTS: dict[str, object] = {}  # name -> Broadcast[(logp, max_word, stem)]
+
+
+def _wordbreak_broadcast(name: str):
+    """Broadcast the registered dict ONCE per session per name (the 82k-entry
+    log-prob table must not re-ship per query/job)."""
+    from pyspark.sql import SparkSession
+
+    b = _WB_BROADCASTS.get(name)
+    if b is None:
+        sc = SparkSession.getActiveSession().sparkContext
+        logp, mw = WORDBREAK_ANALYZERS[name]
+        b = sc.broadcast((logp, mw, _WORDBREAK_STEM.get(name, False)))
+        _WB_BROADCASTS[name] = b
+    return b
+
+
+def _wordbreak_registered_col(col: Column, name: str) -> Column:
+    from mini_search_engine_spark.analysis.tokenizers import (
+        WordBreakError,
+        _stem_cached,
+        word_break_logp,
+    )
+
+    bdict = _wordbreak_broadcast(name)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _wb(texts: pd.Series) -> pd.Series:
+        d, mw, stem = bdict.value
+
+        def run(t):
+            try:
+                toks = word_break_logp(t, d, mw)
+            except WordBreakError:
+                return None  # unbreakable → NULL row (reference throws)
+            return [_stem_cached(x) for x in toks] if stem else toks
+
+        return texts.map(run)
+
+    return _wb(col)
+
 
 def analyze_col(col: Column, analyzer: str = "porter") -> Column:
     try:
@@ -112,11 +180,22 @@ def word_break_col(col: Column, prob_dict: dict[str, float], spark=None) -> Colu
 
 
 def analyze_query(text: str, analyzer: str = "porter") -> list[str]:
-    """Driver-side query analysis with semantics identical to analyze_col."""
+    """Driver-side query analysis with semantics identical to analyze_col.
+    Word-break analyzers raise ``WordBreakError`` on an unbreakable query
+    (matching the reference's tokenize-time throw)."""
     if analyzer == "porter":
         return analyze(text, tokenizer="punctuation", stem=True)
     if analyzer == "punct_nostem":
         return analyze(text, tokenizer="punctuation", stem=False)
     if analyzer == "naive":
         return analyze(text, tokenizer="naive", stem=False)
+    if analyzer in WORDBREAK_ANALYZERS:
+        from mini_search_engine_spark.analysis.tokenizers import (
+            _stem_cached,
+            word_break_logp,
+        )
+
+        logp, mw = WORDBREAK_ANALYZERS[analyzer]
+        toks = word_break_logp(text, logp, mw)
+        return [_stem_cached(t) for t in toks] if _WORDBREAK_STEM.get(analyzer) else toks
     raise ValueError(f"unknown analyzer {analyzer!r}")
