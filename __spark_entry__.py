@@ -231,9 +231,24 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    # banded hyperplane LSH candidates + exact cosine on candidates only;
-    # the quadratic cosine_pairs plan survives solely as the DuckDB/pytest
-    # oracle (VERDICT r1 item 1)
+    """Exact all-pairs cosine near-dup — the CORRECTNESS HARNESS entry
+    (ADVICE r2 item 4): it matches the (equally quadratic) DuckDB oracle by
+    construction at any scale factor, so the oracle gate can never flake on
+    a probabilistic LSH miss. The SHIPPING scale path is the separate
+    ``embed_neardup_lsh`` entry below; never run this plan at real scale."""
+    from mini_search_engine_spark.ops.ann import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, threshold=0.35)
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    """The SHIPPING near-dup plan: banded hyperplane LSH candidates (4 bits
+    × 96 bands, deterministic seed) + exact cosine on candidates only
+    (VERDICT r1 item 1). Shares the exact oracle: per-pair miss probability
+    is < 4e-7 at cosine 0.35, and for the FIXED test corpora + seed the
+    outcome is deterministic — pytest asserts losslessness vs the quadratic
+    plan at sf0.001, sf0.01 AND sf0.1, covering every sf the driver runs."""
     from mini_search_engine_spark.ops.ann import lsh_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -347,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "language_id": q_langid,
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
@@ -608,6 +624,10 @@ d AS (
 SELECT d.vec_a, d.vec_b, round(d.dot / (x.n * y.n), 6) AS cosine
 FROM d JOIN nrm x ON x.vec_id = d.vec_a JOIN nrm y ON y.vec_id = d.vec_b
 WHERE round(d.dot / (x.n * y.n), 6) >= 0.35"""
+
+    # LSH candidates + exact cosine is lossless on the fixed corpora/seed
+    # (pytest-asserted at sf0.001/0.01/0.1) — same exact-pairs oracle
+    sqls["embed_neardup_lsh"] = sqls["embed_neardup"]
 
     sqls["language_id"] = f"""WITH {_WS},
 st AS (
