@@ -158,11 +158,16 @@ def q_doclens(spark, sf_dir):
 
 
 def q_postings_blocks(spark, sf_dir):
-    """Codec roundtrip + blocking check: build compressed, decode, emit block stats."""
+    """Codec roundtrip + blocking check: build compressed, decode, emit block
+    stats. Postings are tid-encoded; the term string comes from a broadcast
+    join against the (vocabulary-sized) termstats dictionary sidecar —
+    exactly how any user-facing term-labelled output is produced."""
     docs = load_documents(spark, sf_dir)
     idx = build_index(docs, analyzer=ANALYZER, block_span=BLOCK_SPAN, compress=True)
-    return idx.decoded().postings.select(
-        "term", "block", F.size("docids").cast("long").alias("n")
+    return (
+        idx.decoded()
+        .postings.join(F.broadcast(idx.termstats.select("tid", "term")), "tid")
+        .select("term", "block", F.size("docids").cast("long").alias("n"))
     )
 
 

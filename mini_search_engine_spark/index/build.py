@@ -21,8 +21,14 @@ upper-bound pruning sound — see search/ranking.py).
 
 Statistics (``getNumDocuments`` / ``getDocumentFrequency``,
 ``InvertedIndexManager.java:1494-1528``) generalize to: ``termstats(term,
-df)``, ``doclens(docid, dl)``, scalars ``n_docs`` / ``avgdl`` — the inputs
-BM25 needs.
+tid, df)``, ``doclens(docid, dl)``, scalars ``n_docs`` / ``avgdl`` — the
+inputs BM25 needs.
+
+**Dictionary encoding.** Postings key on ``tid`` — a coordination-free
+60-bit term hash (see ``index/termid.py``) — never on the term string;
+term strings exist only in the ``termstats`` sidecar. Query terms resolve
+to ids driver-side with no Spark job, and the postings scan filter is an
+int ``IN`` pushdown.
 """
 
 from __future__ import annotations
@@ -43,9 +49,9 @@ DEFAULT_BLOCK_SPAN = 1 << 16  # docids per block
 class InvertedIndex:
     """Handle to the built index DataFrames + collection statistics."""
 
-    postings: DataFrame  # term, block, n, docids, tfs[, positions], min_docid, max_docid, max_tf
+    postings: DataFrame  # tid, block, n, docids, tfs[, positions], min_docid, max_docid, max_tf
     doclens: DataFrame  # docid, dl
-    termstats: DataFrame  # term, df
+    termstats: DataFrame  # term, tid, df — the term dictionary sidecar
     n_docs: int
     avgdl: float
     analyzer: str
@@ -53,6 +59,7 @@ class InvertedIndex:
     positional: bool
     compressed: bool = False
     tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
+    build_cache: DataFrame | None = None  # the persisted postings+term frame
 
     def unpersist(self) -> None:
         """Release EVERY cache this index owns: build-side persists
@@ -65,6 +72,8 @@ class InvertedIndex:
         self.postings.unpersist()
         if self.tf is not None:
             self.tf.unpersist()
+        if self.build_cache is not None:
+            self.build_cache.unpersist()
         for df in (self.doclens, self.termstats):
             if df is not None and df.is_cached:
                 df.unpersist()
@@ -401,7 +410,7 @@ def auto_block_span(n_docs: int) -> int:
 def _blocked_postings_arrow(
     tf: DataFrame, block_span: int, compress: bool, local: bool = False
 ) -> DataFrame:
-    """(docid, dl, term, tf) → blocked postings via ONE sorted Arrow pass.
+    """(docid, dl, term, tid, tf) → blocked postings via ONE sorted Arrow pass.
 
     When to use which formulation (both produce identical postings):
     measured head-to-head, the Catalyst hash agg (``collect_list(struct)``,
@@ -434,8 +443,13 @@ def _blocked_postings_arrow(
     exactly as it does across segments. Map-side construction is also what
     makes the lineage resume and streaming per-batch segments cheap.
     """
-    out_fields = [
-        T.StructField("term", T.StringType(), False),
+    # the term string is optional: build-path inputs carry it (it seeds the
+    # termstats dictionary), merge-path inputs are already id-encoded
+    with_term = "term" in tf.columns
+    out_fields = [T.StructField("tid", T.LongType(), False)]
+    if with_term:
+        out_fields.append(T.StructField("term", T.StringType(), False))
+    out_fields += [
         T.StructField("block", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
     ]
@@ -459,12 +473,16 @@ def _blocked_postings_arrow(
     ]
     schema = T.StructType(out_fields + data_fields + stat_fields)
 
-    blocked = tf.select("docid", "dl", "term", "tf").withColumn(
+    # grouping key is the int tid, NOT the term string: the repartition
+    # hashes 8-byte ints and the sort compares ints (the term column rides
+    # along only to seed the termstats dictionary downstream)
+    in_cols = ["docid", "dl"] + (["term"] if with_term else []) + ["tid", "tf"]
+    blocked = tf.select(*in_cols).withColumn(
         "block", (F.col("docid") / block_span).cast("long")
     )
     if not local:
-        blocked = blocked.repartition("term", "block")
-    blocked = blocked.sortWithinPartitions("term", "block", "docid")
+        blocked = blocked.repartition("tid", "block")
+    blocked = blocked.sortWithinPartitions("tid", "block", "docid")
 
     def agg_encode(batches):
         import numpy as np
@@ -473,12 +491,12 @@ def _blocked_postings_arrow(
 
         def group_starts(tbl: pa.Table) -> np.ndarray:
             nr = tbl.num_rows
-            term = tbl.column("term").chunk(0)
+            tid = tbl.column("tid").chunk(0)
             block = tbl.column("block").chunk(0)
             if nr == 1:
                 return np.array([0], dtype=np.int64)
             neq = pc.or_(
-                pc.not_equal(term.slice(1), term.slice(0, nr - 1)),
+                pc.not_equal(tid.slice(1), tid.slice(0, nr - 1)),
                 pc.not_equal(block.slice(1), block.slice(0, nr - 1)),
             ).to_numpy(zero_copy_only=False)
             newg = np.empty(nr, dtype=bool)
@@ -493,8 +511,10 @@ def _blocked_postings_arrow(
             tfv = tbl.column("tf").chunk(0).to_numpy().astype(np.int64)
             dlv = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
             idx = pa.array(starts)
-            arrays = [
-                pc.take(tbl.column("term").chunk(0), idx),
+            arrays = [pc.take(tbl.column("tid").chunk(0), idx)]
+            if with_term:
+                arrays.append(pc.take(tbl.column("term").chunk(0), idx))
+            arrays += [
                 pc.take(tbl.column("block").chunk(0), idx),
                 pa.array((ends - starts).astype(np.int32), pa.int32()),
             ]
@@ -566,7 +586,12 @@ def _fused_blocked_postings(
     oversized input partitions degrade to more split rows, not OOM.
     """
     out_fields = [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("tid", T.LongType(), False),
+        # SPARSE dictionary column: the term string appears on the FIRST
+        # (tid → term) row each partition emits and is null elsewhere, so
+        # string bytes leaving the kernel are O(partition vocabulary), not
+        # O(posting rows); termstats min(term) recovers the dictionary.
+        T.StructField("term", T.StringType(), True),
         T.StructField("block", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
     ]
@@ -611,10 +636,13 @@ def _fused_blocked_postings(
             PUNCT_SPLIT_PATTERN,
             _stem_cached,
         )
+        from mini_search_engine_spark.index.termid import term_id_py
 
         trim_chars = "".join(chr(i) for i in range(0x21))
         stem_id_of: dict[str, int] = {}
         stem_strs: list[str] = []
+        stem_tids: list[int] = []  # parallel: 60-bit term id per stem
+        emitted = np.zeros(1024, dtype=bool)  # sid → term string already emitted
 
         def sid_for(uniq_list):
             ids = np.empty(len(uniq_list), dtype=np.int64)
@@ -625,6 +653,7 @@ def _fused_blocked_postings(
                     j = len(stem_strs)
                     stem_id_of[s] = j
                     stem_strs.append(s)
+                    stem_tids.append(term_id_py(s))
                 ids[i] = j
             return ids
 
@@ -648,7 +677,7 @@ def _fused_blocked_postings(
         acc_n = 0
 
         def emit():
-            nonlocal acc_d, acc_s, acc_t, acc_l, acc_p, acc_n
+            nonlocal acc_d, acc_s, acc_t, acc_l, acc_p, acc_n, emitted
             d = np.concatenate(acc_d)
             s = np.concatenate(acc_s)
             tf = np.concatenate(acc_t)
@@ -684,8 +713,22 @@ def _fused_blocked_postings(
             newg[1:] = (s[1:] != s[:-1]) | (blk[1:] != blk[:-1])
             starts = np.nonzero(newg)[0]
             ends = np.append(starts[1:], nr)
+            sids_g = s[starts]
+            # sparse dictionary emission (all vectorized): term string only
+            # on the first partition-wide occurrence of each sid
+            if len(emitted) < len(stem_strs):
+                grown = np.zeros(max(len(stem_strs), 2 * len(emitted)), dtype=bool)
+                grown[: len(emitted)] = emitted
+                emitted = grown
+            uniq_s, first_pos = np.unique(sids_g, return_index=True)
+            new_u = ~emitted[uniq_s]
+            emitted[uniq_s[new_u]] = True
+            term_mask = np.zeros(len(sids_g), dtype=bool)
+            term_mask[first_pos[new_u]] = True
+            term_idx = pa.array(sids_g, mask=~term_mask)  # null → no string
             arrays = [
-                pc.take(pa.array(stem_strs, pa.string()), pa.array(s[starts])),
+                pa.array(np.asarray(stem_tids, dtype=np.int64)[sids_g], pa.int64()),
+                pc.take(pa.array(stem_strs, pa.string()), term_idx),
                 pa.array(blk[starts], pa.int64()),
                 pa.array((ends - starts).astype(np.int32), pa.int32()),
             ]
@@ -785,6 +828,19 @@ def _fused_blocked_postings(
     ).mapInArrow(fused, schema=schema)
 
 
+def _termstats_of(postings_with_term: DataFrame) -> DataFrame:
+    """(term, tid, df) dictionary sidecar from a postings frame that still
+    carries its (possibly sparse) term column: df = Σ n per tid; min(term)
+    skips the nulls of the fused path's sparse dictionary column. Map-side
+    partial aggregation collapses the strings to one per (partition, tid)
+    before the exchange."""
+    return (
+        postings_with_term.groupBy("tid")
+        .agg(F.sum("n").cast("long").alias("df"), F.min("term").alias("term"))
+        .select("term", "tid", "df")
+    )
+
+
 def build_index(
     docs: DataFrame,
     analyzer: str = "porter",
@@ -811,17 +867,15 @@ def build_index(
         # included when positional — see _fused_blocked_postings). No tf
         # intermediate exists at all; doclens and avgdl come from the
         # native (JVM codegen) tokenizer scan, which is stemming-invariant.
-        postings = _fused_blocked_postings(
+        full = _fused_blocked_postings(
             docs, block_span, compress, positional=positional
         ).persist()
         doclens = doc_lengths(docs, analyzer)
         total_tokens = doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
         return InvertedIndex(
-            postings=postings,
+            postings=full.drop("term"),
             doclens=doclens,
-            termstats=postings.groupBy("term").agg(
-                F.sum("n").cast("long").alias("df")
-            ),
+            termstats=_termstats_of(full),
             n_docs=int(n_docs),
             avgdl=float(total_tokens / n_docs) if n_docs else 0.0,
             analyzer=analyzer,
@@ -829,12 +883,21 @@ def build_index(
             positional=positional,
             compressed=compress,
             tf=None,
+            build_cache=full,
         )
 
     # One analyzer pass: tf carries dl (Lucene-norms style denormalization),
     # so BM25 needs no query-time doclens join — only broadcast scalars/df.
     # Persisted: postings, doclens and the stats action all reuse it.
-    tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).persist()
+    # The tid (JVM-side 60-bit hash of the term, see index/termid.py) is
+    # stamped here so every downstream group/sort/shuffle keys on ints.
+    from mini_search_engine_spark.index.termid import term_id_col
+
+    tf = (
+        tokenize_docs(docs, analyzer=analyzer, positional=positional)
+        .withColumn("tid", term_id_col(F.col("term")))
+        .persist()
+    )
 
     if local_blocks and not positional:
         # shuffle-free path for NON-porter analyzers: partition-local
@@ -847,13 +910,16 @@ def build_index(
         # exchange path: Catalyst hash aggregation — collect per-group
         # struct arrays, sort each group's array (ints within a group,
         # cheaper than sorting raw rows by string term), then the batch
-        # codec UDF.
+        # codec UDF. Grouping keys are (tid, block) ints; min(term) rides
+        # along only to seed the termstats dictionary (map-side partial
+        # agg collapses it to one string per group before the exchange).
         blocked = tf.withColumn("block", (F.col("docid") / block_span).cast("long"))
         plist_fields = [F.col("docid"), F.col("tf"), F.col("dl")]
         if positional:
             plist_fields.append(F.col("positions"))
         plist = F.sort_array(F.collect_list(F.struct(*plist_fields)))
-        agg = blocked.groupBy("term", "block").agg(
+        agg = blocked.groupBy("tid", "block").agg(
+            F.min("term").alias("term"),
             plist.alias("plist"),
             F.count("*").cast("int").alias("n"),
             F.min("docid").alias("min_docid"),
@@ -862,6 +928,7 @@ def build_index(
             F.min("dl").alias("min_dl"),
         )
         cols = [
+            "tid",
             "term",
             "block",
             "n",
@@ -874,7 +941,7 @@ def build_index(
             "min_dl",
         ]
         if positional:
-            cols.insert(6, F.transform("plist", lambda x: x["positions"]).alias("positions"))
+            cols.insert(7, F.transform("plist", lambda x: x["positions"]).alias("positions"))
         postings = agg.select(*cols)
         if compress:
             postings = (
@@ -890,7 +957,7 @@ def build_index(
                 postings = postings.withColumn(
                     "positions_bytes", C.encode_positions_udf("positions")
                 ).drop("positions")
-    postings = postings.persist()
+    full = postings.persist()
 
     # doclens: for analyzers with a native tokenizer the doc length is a
     # pure-Catalyst narrow scan (stemming is 1:1 so 'porter' dl == native
@@ -908,12 +975,10 @@ def build_index(
     total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
-
     return InvertedIndex(
-        postings=postings,
+        postings=full.drop("term"),
         doclens=doclens,
-        termstats=termstats,
+        termstats=_termstats_of(full),
         n_docs=int(n_docs),
         avgdl=float(avgdl),
         analyzer=analyzer,
@@ -921,6 +986,7 @@ def build_index(
         positional=positional,
         compressed=compress,
         tf=tf,
+        build_cache=full,
     )
 
 
@@ -960,14 +1026,15 @@ def _read_sidecar(spark: SparkSession, path: str) -> str | None:
 
 
 def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> None:
-    """Persist the index: postings hash-distributed + sorted by term so
-    term-equality predicates prune Parquet row groups (replaces the
-    reference's dictionary-first lookup, ``InvertedIndexManager.java:757-766``)."""
-    # The (term, block) aggregation already hash-distributed the rows; a
-    # partition-local sort is enough for term-predicate row-group pruning —
-    # re-shuffling GBs of posting arrays by term would double the write cost.
+    """Persist the index: postings hash-distributed + sorted by tid so
+    int term-id predicates prune Parquet row groups via column min/max
+    stats (replaces the reference's dictionary-first lookup,
+    ``InvertedIndexManager.java:757-766``)."""
+    # The (tid, block) aggregation already hash-distributed the rows; a
+    # partition-local sort is enough for tid-predicate row-group pruning —
+    # re-shuffling GBs of posting arrays would double the write cost.
     (
-        index.postings.sortWithinPartitions("term", "block")
+        index.postings.sortWithinPartitions("tid", "block")
         .write.mode(mode)
         .parquet(f"{path}/postings")
     )

@@ -123,9 +123,13 @@ def resumable_build(
                 bytes_after = None
             n_postings = int(m["n_postings"] or 0)
             hot = idx.termstats.filter(F.col("df") > hot_term_threshold).count()
-            # data first …
+            # data first … (termstats too: postings are tid-encoded, so the
+            # per-part (term, tid, df) sidecar is the only term-string source)
             idx.postings.write.mode("overwrite").parquet(f"{path}/postings/part={pid}")
             idx.doclens.write.mode("overwrite").parquet(f"{path}/doclens/part={pid}")
+            idx.termstats.write.mode("overwrite").parquet(
+                f"{path}/termstats_parts/part={pid}"
+            )
             row = {
                 "pid": pid,
                 "n_docs": int(n_docs_part),
@@ -158,7 +162,15 @@ def finalize_index(
     global stats/meta (cheap: termstats is a re-agg of per-block counts)."""
     postings = spark.read.parquet(f"{path}/postings")
     doclens = spark.read.parquet(f"{path}/doclens")
-    termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    # global dictionary: re-agg the per-part sidecars — parts are disjoint
+    # docid ranges so per-part dfs sum; identical terms hash to identical
+    # tids across parts (no remapping)
+    termstats = (
+        spark.read.parquet(f"{path}/termstats_parts")
+        .groupBy("tid")
+        .agg(F.sum("df").cast("long").alias("df"), F.min("term").alias("term"))
+        .select("term", "tid", "df")
+    )
     stats = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     idx = InvertedIndex(
         postings=postings,

@@ -30,12 +30,14 @@ from mini_search_engine_spark.index.build import InvertedIndex
 
 
 def _posting_level(index: InvertedIndex) -> DataFrame:
-    """Blocked postings → posting granularity (docid, term, tf, dl[, positions])."""
+    """Blocked postings → posting granularity (docid, tid, tf, dl[, positions]).
+    Term strings never enter the merge — every row moves an 8-byte tid; the
+    merged dictionary comes from the segments' termstats sidecars."""
     idx = index.decoded()
     arrays = ["docids", "tfs", "dls"] + (["positions"] if index.positional else [])
-    z = idx.postings.select("term", F.explode(F.arrays_zip(*arrays)).alias("z"))
+    z = idx.postings.select("tid", F.explode(F.arrays_zip(*arrays)).alias("z"))
     cols = [
-        "term",
+        "tid",
         F.col("z.docids").alias("docid"),
         F.col("z.tfs").alias("tf"),
         F.col("z.dls").alias("dl"),
@@ -86,14 +88,14 @@ def merge_segments(
         from mini_search_engine_spark.index.build import _blocked_postings_arrow
 
         postings = _blocked_postings_arrow(
-            merged.select("docid", "dl", "term", "tf"), span, compress=False
+            merged.select("docid", "dl", "tid", "tf"), span, compress=False
         )
     else:
         blocked = merged.withColumn("block", (F.col("docid") / span).cast("long"))
         fields = [F.col("docid"), F.col("tf"), F.col("dl")]
         if positional:
             fields.append(F.col("positions"))
-        agg = blocked.groupBy("term", "block").agg(
+        agg = blocked.groupBy("tid", "block").agg(
             F.sort_array(F.collect_list(F.struct(*fields))).alias("plist"),
             F.count("*").cast("int").alias("n"),
             F.min("docid").alias("min_docid"),
@@ -102,7 +104,7 @@ def merge_segments(
             F.min("dl").alias("min_dl"),
         )
         cols = [
-            "term",
+            "tid",
             "block",
             "n",
             F.transform("plist", lambda x: x["docid"]).alias("docids"),
@@ -127,7 +129,20 @@ def merge_segments(
         doclens = d if doclens is None else doclens.unionByName(d)
         off += seg.n_docs
     avgdl_row = doclens.agg(F.avg("dl")).collect()[0]
-    termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    # merged dictionary: union of the segments' (term, tid) sidecars —
+    # tids are a pure hash of the term, so identical terms from different
+    # segments already carry identical ids (no remapping, no rebase)
+    tdict = None
+    for seg in segments:
+        d = seg.termstats.select("term", "tid")
+        tdict = d if tdict is None else tdict.unionByName(d)
+    tdict = tdict.dropDuplicates(["tid"])
+    termstats = (
+        postings.groupBy("tid")
+        .agg(F.sum("n").cast("long").alias("df"))
+        .join(tdict, "tid")
+        .select("term", "tid", "df")
+    )
 
     return InvertedIndex(
         postings=postings,
@@ -150,6 +165,9 @@ def delete_terms(index: InvertedIndex, keywords: list[str]) -> InvertedIndex:
     terms = sorted({t for k in keywords for t in analyze_query(k, index.analyzer)})
     if not terms:
         return index
-    postings = index.postings.filter(~F.col("term").isin(terms))
-    termstats = index.termstats.filter(~F.col("term").isin(terms))
+    from mini_search_engine_spark.index.termid import term_ids
+
+    tids = term_ids(terms)
+    postings = index.postings.filter(~F.col("tid").isin(tids))
+    termstats = index.termstats.filter(~F.col("tid").isin(tids))
     return replace(index, postings=postings, termstats=termstats)

@@ -1,0 +1,73 @@
+"""Decentralized term-id dictionary encoding (VERDICT r2 item 1).
+
+The postings table keys on ``tid`` — a 60-bit hash of the term — instead
+of the term string. Term strings live ONLY in the small ``termstats``
+sidecar ``(term, tid, df)``; postings rows, shuffles, sorts, caches and
+query filters all move 8-byte ints. Why this matters at 100 TB: a
+stopword-grade term repeats its string once per (term, block) row
+(``n_docs / block_span`` copies), so term-string bytes dominate shuffle
+and scan traffic exactly where the build is memory-bus-bound, and string
+equality in filters/sorts costs multiples of an int compare. Pushdown
+becomes an int ``IN`` predicate against parquet column statistics.
+
+The id is a HASH, not a densely assigned id, which is the load-bearing
+design choice: every producer derives the identical id with ZERO
+coordination —
+
+* the fused Arrow build kernel (Python ``hashlib.md5``),
+* native Catalyst plans (``conv(substring(md5(term),1,15),16,10)``,
+  whole-stage-codegen JVM expression),
+* driver-side query analysis (no Spark job to resolve query terms — the
+  handful of query terms hash locally and become literal ints in the
+  plan).
+
+So independently built segments, streaming micro-batches and
+lineage-resumed partitions agree on ids without a global dictionary pass,
+a broadcast, or any remapping at merge time — the property a dense
+sequential id cannot provide without an extra shuffle + join per build.
+
+Collisions: 60 bits of md5. Two distinct terms colliding would merge
+their posting lists; the expected number of colliding pairs for a
+vocabulary of V terms is ~V²/2^61 — ≈ 4e-4 at V = 1M, ≈ 0.4 at V = 1G.
+``assert_no_tid_collisions`` is the build-time detector (one tiny agg
+over termstats); at vocabularies where 0.4 expected collisions is not
+acceptable the scheme widens to two hash columns, not to strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TERM_ID_HEX_DIGITS = 15  # 60 bits — fits a signed int64 with headroom
+
+
+def term_id_py(term: str) -> int:
+    """Driver/Python-kernel side: identical to ``term_id_col`` by
+    construction (md5 over UTF-8 bytes, first 15 hex digits)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:TERM_ID_HEX_DIGITS], 16)
+
+
+def term_ids(terms: list[str]) -> list[int]:
+    return [term_id_py(t) for t in terms]
+
+
+def term_id_col(col: Column) -> Column:
+    """JVM-side (whole-stage codegen, no Python): 60-bit term id."""
+    return F.conv(F.substring(F.md5(col), 1, TERM_ID_HEX_DIGITS), 16, 10).cast("long")
+
+
+def assert_no_tid_collisions(termstats: DataFrame) -> None:
+    """Build-time collision detector: every tid maps to exactly one term.
+    One aggregation over the vocabulary-sized termstats sidecar."""
+    bad = (
+        termstats.groupBy("tid")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") > 1)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise RuntimeError(f"term-id collision detected at tid={bad[0]['tid']}")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from mini_search_engine_spark.analysis.udfs import analyze_query
 from mini_search_engine_spark.index.build import InvertedIndex
+from mini_search_engine_spark.index.termid import term_ids
 
 
 def _empty_docids(index: InvertedIndex) -> DataFrame:
@@ -36,15 +37,17 @@ def _empty_docids(index: InvertedIndex) -> DataFrame:
 
 
 def _postings_for(index: InvertedIndex, terms: list[str]) -> DataFrame:
-    """Blocked postings rows for the given terms (term-pruned parquet scan).
+    """Blocked postings rows for the given terms (tid-pruned parquet scan).
 
-    Term filter FIRST, codec decode second: the filter lands on the scan
-    (``PushedFilters: In(term, …)``) and the Arrow decode UDF runs only on
-    the surviving blocks — decoding then pruning would ship the whole
-    postings table through Python for a point lookup."""
+    The query terms hash to 60-bit ids DRIVER-SIDE (no Spark job, see
+    index/termid.py) and the int filter lands on the scan (``PushedFilters:
+    In(tid, …)`` — int compares against parquet column stats, cheaper than
+    string equality); the Arrow decode UDF runs only on the surviving
+    blocks — decoding then pruning would ship the whole postings table
+    through Python for a point lookup."""
     from dataclasses import replace
 
-    filtered = index.postings.filter(F.col("term").isin(terms))
+    filtered = index.postings.filter(F.col("tid").isin(term_ids(terms)))
     return replace(index, postings=filtered).decoded().postings
 
 
@@ -68,9 +71,9 @@ def search_and(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     n = len(terms)
     return (
         _postings_for(index, terms)
-        .select("term", F.explode("docids").alias("docid"))
+        .select("tid", F.explode("docids").alias("docid"))
         .groupBy("docid")
-        .agg(F.count_distinct("term").alias("nt"))
+        .agg(F.count_distinct("tid").alias("nt"))
         .filter(F.col("nt") == n)
         .select("docid")
         .orderBy("docid")
@@ -105,17 +108,18 @@ def search_and_segments(
     # is the same dictionary fact from a plain pruned scan, so the union
     # has a single exchange regardless of segment count (asserted in
     # tests/test_reference_parity.py).
+    tids = term_ids(terms)
     stats = None
     for i, seg in enumerate(segments):
-        s = seg.postings.filter(F.col("term").isin(terms)).select(
-            F.lit(i).alias("_seg"), "term"
+        s = seg.postings.filter(F.col("tid").isin(tids)).select(
+            F.lit(i).alias("_seg"), "tid"
         )
         stats = s if stats is None else stats.unionByName(s)
     surviving = {
         r["_seg"]
         for r in (
             stats.groupBy("_seg")
-            .agg(F.count_distinct("term").alias("nt"))
+            .agg(F.count_distinct("tid").alias("nt"))
             .filter(F.col("nt") == len(terms))
             .collect()
         )
@@ -130,13 +134,13 @@ def search_and_segments(
     for i, seg in enumerate(segments):
         if i not in surviving:
             continue  # segment-miss: contributes nothing (`:968-973`)
-        p = _postings_for(seg, terms).select("term", "docids")
+        p = _postings_for(seg, terms).select("tid", "docids")
         posts = p if posts is None else posts.unionByName(p)
     n = len(terms)
     return (
-        posts.select("term", F.explode("docids").alias("docid"))
+        posts.select("tid", F.explode("docids").alias("docid"))
         .groupBy("docid")
-        .agg(F.count_distinct("term").alias("nt"))
+        .agg(F.count_distinct("tid").alias("nt"))
         .filter(F.col("nt") == n)
         .select("docid")
         .orderBy("docid")
@@ -169,15 +173,15 @@ def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
         return search_keyword(index, terms[0])
 
     posts = _postings_for(index, sorted(set(terms)))
-    # per-(term, docid) positions — one exploded frame, reused per phrase slot
+    # per-(tid, docid) positions — one exploded frame, reused per phrase slot
     tp = posts.select(
-        "term",
+        "tid",
         F.explode(F.arrays_zip("docids", "positions")).alias("z"),
-    ).select("term", F.col("z.docids").alias("docid"), F.col("z.positions").alias("pos"))
+    ).select("tid", F.col("z.docids").alias("docid"), F.col("z.positions").alias("pos"))
 
     joined: DataFrame | None = None
     for i, t in enumerate(terms):
-        cur = tp.filter(F.col("term") == t).select(
+        cur = tp.filter(F.col("tid") == term_ids([t])[0]).select(
             F.col("docid"), F.col("pos").alias(f"pos_{i}")
         )
         joined = cur if joined is None else joined.join(cur, "docid")

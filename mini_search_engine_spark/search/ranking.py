@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from mini_search_engine_spark.analysis.udfs import analyze_query
 from mini_search_engine_spark.index.build import InvertedIndex
+from mini_search_engine_spark.index.termid import term_id_py, term_ids
 
 K1 = 1.2
 B = 0.75
@@ -63,10 +64,10 @@ def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
 
 def _exploded(posts: DataFrame) -> DataFrame:
     return posts.select(
-        "term",
+        "tid",
         F.explode(F.arrays_zip("docids", "tfs", "dls")).alias("z"),
     ).select(
-        "term",
+        "tid",
         F.col("z.docids").alias("docid"),
         F.col("z.tfs").alias("tf"),
         F.col("z.dls").alias("dl"),
@@ -84,21 +85,24 @@ def search_tfidf(
     dfm = _df_map(index, terms)
     n = index.n_docs
     # term → (query-weight, idf) scalars folded into chained-CASE literals
-    # (same rationale as BM25: no broadcast-exchange build per query job)
+    # over the DRIVER-HASHED term ids (same rationale as BM25: no
+    # broadcast-exchange build per query job; int equality, not string)
     rows = [
-        (t, counts[t] * (n / dfm[t]), n / dfm[t]) for t in terms if dfm.get(t)
+        (term_id_py(t), counts[t] * (n / dfm[t]), n / dfm[t])
+        for t in terms
+        if dfm.get(t)
     ]
     if not rows:
         return _empty_scored(index)
     qw_expr = F.lit(0.0)
     idf_expr = F.lit(0.0)
-    for t, qw, idf in rows:
-        qw_expr = F.when(F.col("term") == F.lit(t), F.lit(float(qw))).otherwise(qw_expr)
-        idf_expr = F.when(F.col("term") == F.lit(t), F.lit(float(idf))).otherwise(idf_expr)
+    for tid, qw, idf in rows:
+        qw_expr = F.when(F.col("tid") == F.lit(tid), F.lit(float(qw))).otherwise(qw_expr)
+        idf_expr = F.when(F.col("tid") == F.lit(tid), F.lit(float(idf))).otherwise(idf_expr)
 
     from dataclasses import replace as _rep
 
-    filtered = index.postings.filter(F.col("term").isin(terms))
+    filtered = index.postings.filter(F.col("tid").isin(term_ids(terms)))
     filtered = _rep(index, postings=filtered).decoded().postings
     tfidf = F.col("tf") * idf_expr
     scored = (
@@ -124,23 +128,23 @@ def _bm25_qvec(index: InvertedIndex, keywords: list[str]):
         return None
     dfm = _df_map(index, sorted(counts))
     rows = [
-        (t, float(counts[t]), _bm25_idf(index.n_docs, dfm[t]))
+        (term_id_py(t), float(counts[t]), _bm25_idf(index.n_docs, dfm[t]))
         for t in sorted(counts)
         if dfm.get(t)
     ]
     return rows or None
 
 
-def _term_weight_expr(rows: list[tuple[str, float, float]]) -> F.Column:
+def _term_weight_expr(rows: list[tuple[int, float, float]]) -> F.Column:
     """Per-term weight qw·idf as a chained-CASE literal over the (few)
-    query terms. Query state is a handful of scalars — folding them into
-    the expression keeps every scoring job a single stage, where a
-    broadcast join would add a broadcast-exchange build (measured ~0.2-0.5 s
-    of fixed latency PER JOB on this box, paid twice more by the pruned
-    path's extra jobs)."""
+    query term IDS (driver-hashed — int equality in codegen). Query state
+    is a handful of scalars — folding them into the expression keeps every
+    scoring job a single stage, where a broadcast join would add a
+    broadcast-exchange build (measured ~0.2-0.5 s of fixed latency PER JOB
+    on this box, paid twice more by the pruned path's extra jobs)."""
     chain = F.lit(0.0)
-    for t, qw, idf in rows:
-        chain = F.when(F.col("term") == F.lit(t), F.lit(float(qw * idf))).otherwise(chain)
+    for tid, qw, idf in rows:
+        chain = F.when(F.col("tid") == F.lit(tid), F.lit(float(qw * idf))).otherwise(chain)
     return chain
 
 
@@ -168,11 +172,11 @@ def bm25_topk(
     if rows is None:
         return _empty_scored(index)
     spark = index.postings.sparkSession
-    terms = [r[0] for r in rows]
-    # term/block filters are applied to the RAW postings (stats + byte
+    qtids = [r[0] for r in rows]
+    # tid/block filters are applied to the RAW postings (stats + byte
     # columns only) and the codec UDF runs strictly on the surviving rows —
     # pruning must reduce Python/Arrow work, not merely row counts.
-    raw = index.postings.filter(F.col("term").isin(terms))
+    raw = index.postings.filter(F.col("tid").isin(qtids))
 
     def dec(df: DataFrame) -> DataFrame:
         if not index.compressed:
@@ -214,7 +218,7 @@ def bm25_topk(
     # inside the final plan is cheaper than leaking a cached RDD per query
     # in a serving session.
     ub_range = (
-        raw.select("term", "block", "n", "max_tf", "min_dl")
+        raw.select("tid", "block", "n", "max_tf", "min_dl")
         .groupBy("block")
         .agg(F.sum(ub_expr).alias("ub"), F.sum("n").alias("n_cand"))
     )

@@ -65,6 +65,12 @@ def ingest_stream(
         idx.doclens.write.mode("overwrite").parquet(
             f"{index_path}/segments/seg={batch_id}/doclens"
         )
+        # postings are tid-encoded — persist the segment's (term, tid, df)
+        # dictionary sidecar alongside
+        idx.termstats.write.mode("overwrite").parquet(
+            f"{index_path}/segments/seg={batch_id}/termstats"
+        )
+        idx.unpersist()
 
     reader = (
         spark.readStream.schema(schema)
@@ -90,7 +96,14 @@ def read_segmented_index(
     """Assemble a queryable index over all committed segments."""
     postings = spark.read.parquet(f"{index_path}/segments/seg=*/postings")
     doclens = spark.read.parquet(f"{index_path}/segments/seg=*/doclens")
-    termstats = postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    # per-segment dfs sum (docids are globally unique across segments);
+    # hashed tids agree across independently built segments by construction
+    termstats = (
+        spark.read.parquet(f"{index_path}/segments/seg=*/termstats")
+        .groupBy("tid")
+        .agg(F.sum("df").cast("long").alias("df"), F.min("term").alias("term"))
+        .select("term", "tid", "df")
+    )
     stats = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return InvertedIndex(
         postings=postings,

@@ -36,3 +36,14 @@ def tiny_corpus(spark):
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
+
+
+def postings_with_term(index):
+    """Decoded postings joined back to term strings via the termstats
+    dictionary sidecar (postings themselves are tid-encoded)."""
+    from pyspark.sql import functions as F
+
+    p = index.decoded().postings
+    if "term" in p.columns:  # raw fused output carries a sparse term column
+        p = p.drop("term")
+    return p.join(F.broadcast(index.termstats.select("tid", "term")), "tid")

@@ -6,6 +6,7 @@ import math
 
 import pytest
 
+from conftest import postings_with_term
 from mini_search_engine_spark.corpus import load_corpus
 from mini_search_engine_spark.index.build import build_index, read_index, write_index
 from mini_search_engine_spark.search import (
@@ -238,8 +239,8 @@ def test_local_blocks_build_matches_default(corpus):
     def posting_rows(idx):
         return sorted(
             (r["term"], r["docid"], r["tf"], r["dl"])
-            for r in idx.decoded()
-            .postings.select(
+            for r in postings_with_term(idx)
+            .select(
                 "term", F.explode(F.arrays_zip("docids", "tfs", "dls")).alias("z")
             )
             .select(
@@ -286,8 +287,8 @@ def test_local_blocks_positional_matches_default(corpus):
     def pos_rows(idx):
         return sorted(
             (r["term"], r["docid"], r["tf"], list(r["positions"]))
-            for r in idx.decoded()
-            .postings.select(
+            for r in postings_with_term(idx)
+            .select(
                 "term",
                 F.explode(F.arrays_zip("docids", "tfs", "positions")).alias("z"),
             )
@@ -313,16 +314,23 @@ def test_local_blocks_positional_matches_default(corpus):
 
 def test_term_filter_pushed_to_parquet_scan(index, tmp_path, spark):
     """The reference reads the dictionary before touching postings
-    (InvertedIndexManager.java:757-766); the Spark analog is the term
+    (InvertedIndexManager.java:757-766); the Spark analog is the term-ID
     predicate reaching the parquet scan (PushedFilters) so row groups are
-    pruned before the decode UDF sees a byte."""
+    pruned before the decode UDF sees a byte. Postings are tid-encoded:
+    the pushed filter is an int In/EqualTo on tid (the id is hashed
+    driver-side — no job resolves query terms)."""
+    from mini_search_engine_spark.index.termid import term_id_py
+
     path = str(tmp_path / "idx_pushdown")
     write_index(index, path)
     idx = read_index(spark, path)
     from mini_search_engine_spark.search.boolean import _postings_for
 
+    tid = term_id_py("cat")
     plan = _postings_for(idx, ["cat"])._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "In(term, [cat])" in plan or "EqualTo(term,cat)" in plan, plan
+    assert "PushedFilters: [" in plan and (
+        f"In(tid, [{tid}])" in plan or f"EqualTo(tid,{tid})" in plan
+    ), plan
 
 
 def test_fused_build_plan_has_no_exchange(corpus):
@@ -393,8 +401,43 @@ def test_local_blocks_non_porter_path(spark):
 
     def pd_(idx):
         out = {}
-        for r in idx.decoded().postings.collect():
+        for r in postings_with_term(idx).collect():
             out.setdefault(r["term"], []).extend(zip(r["docids"], r["tfs"]))
         return {t: sorted(v) for t, v in out.items()}
 
     assert pd_(a) == pd_(b)
+
+
+def test_termid_collision_detector(spark, corpus):
+    """assert_no_tid_collisions passes on a real vocabulary and fires on a
+    manufactured collision."""
+    from mini_search_engine_spark.index.termid import assert_no_tid_collisions
+
+    idx = build_index(corpus, analyzer="porter", block_span=4)
+    assert_no_tid_collisions(idx.termstats)  # no raise
+    bad = spark.createDataFrame(
+        [("a", 1, 1), ("b", 1, 1)], "term string, tid long, df long"
+    )
+    with pytest.raises(RuntimeError, match="collision"):
+        assert_no_tid_collisions(bad)
+    idx.unpersist()
+
+
+def test_fused_term_column_is_sparse(corpus):
+    """The fused kernel emits each term string AT MOST once per partition
+    (the sparse dictionary column) — string bytes out of the kernel are
+    O(vocabulary), not O(posting rows) — while termstats still recovers
+    every term."""
+    from pyspark.sql import functions as F
+
+    from mini_search_engine_spark.index.build import _fused_blocked_postings
+
+    ranged = corpus.repartitionByRange(2, "docid")
+    raw = _fused_blocked_postings(ranged, block_span=2, compress=True)
+    rows = raw.count()
+    nonnull = raw.filter(F.col("term").isNotNull()).count()
+    vocab = raw.select("tid").distinct().count()
+    assert nonnull <= 2 * vocab  # ≤ vocab × n_partitions
+    assert nonnull < rows  # actually sparse (blocks repeat tids)
+    # per (partition-run of) tid the dictionary is complete:
+    assert raw.filter(F.col("term").isNotNull()).select("tid").distinct().count() == vocab

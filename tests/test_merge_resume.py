@@ -23,8 +23,10 @@ def _mk(spark, rows):
 
 
 def _postings_dict(index):
+    from conftest import postings_with_term
+
     out = {}
-    for r in index.decoded().postings.collect():
+    for r in postings_with_term(index).collect():
         out.setdefault(r["term"], []).extend(zip(r["docids"], r["tfs"]))
     return {t: sorted(v) for t, v in out.items()}
 

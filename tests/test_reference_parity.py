@@ -53,15 +53,17 @@ def test_team10_merge_golden(spark):
     seg0 = build_index(_corpus(spark, TEAM10_DOCS[:2]), analyzer="naive", block_span=4)
     seg1 = build_index(_corpus(spark, TEAM10_DOCS[2:]), analyzer="naive", block_span=4)
     merged = merge_segments([seg0, seg1], rebase_docids=True)
+    from conftest import postings_with_term
+
     got = {}
-    for r in merged.decoded().postings.collect():
+    for r in postings_with_term(merged).collect():
         got.setdefault(r["term"], []).extend(r["docids"])
     got = {t: sorted(v) for t, v in got.items()}
     assert got == TEAM10_EXPECTED
     # and the direct (global-docid) build agrees
     full = build_index(docs, analyzer="naive", block_span=4)
     got2 = {}
-    for r in full.decoded().postings.collect():
+    for r in postings_with_term(full).collect():
         got2.setdefault(r["term"], []).extend(r["docids"])
     assert {t: sorted(v) for t, v in got2.items()} == TEAM10_EXPECTED
 

@@ -72,6 +72,8 @@ def test_hot_term_blocks_bounded(spark):
     from mini_search_engine_spark.corpus import load_corpus
     from pyspark.sql import functions as F
 
+    from mini_search_engine_spark.index.termid import term_id_py
+
     n = 2000
     rows = [(i, f"hot filler{i % 7} words", "en", "t", 0) for i in range(n)]
     docs = load_corpus(
@@ -82,7 +84,7 @@ def test_hot_term_blocks_bounded(spark):
     span = 256
     idx = build_index(docs, analyzer="porter", block_span=span)
     sizes = (
-        idx.postings.filter(F.col("term") == "hot")
+        idx.postings.filter(F.col("tid") == term_id_py("hot"))
         .select(F.size("docids").alias("sz"))
         .collect()
     )
@@ -96,7 +98,7 @@ def test_hot_term_blocks_bounded(spark):
         local_blocks=True,
     )
     sizes2 = (
-        idx2.postings.filter(F.col("term") == "hot")
+        idx2.postings.filter(F.col("tid") == term_id_py("hot"))
         .select(F.size("docids").alias("sz"))
         .collect()
     )
