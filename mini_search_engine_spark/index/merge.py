@@ -58,12 +58,13 @@ def merge_segments(
     (``Utils.increaseDocId``, cumulative left-store sizes); with globally
     assigned docids (this engine's default) leave it False.
 
-    ``use_arrow=True`` routes the (non-positional) re-aggregation through
-    the sorted-Arrow kernel ``_blocked_postings_arrow`` instead of the
-    Catalyst ``collect_list(struct)`` hash agg. Both produce identical
-    postings; measured on this box the hash agg WINS whenever the exchange
-    is needed anyway (sorting raw rows by the term string costs more than
-    hash-aggregating them — same result as the build-path A/B, see
+    ``use_arrow=True`` routes the re-aggregation (positional included —
+    position lists ride the sorted pass as Arrow list offsets, VERDICT r2
+    item 7) through the sorted-Arrow kernel ``_blocked_postings_arrow``
+    instead of the Catalyst ``collect_list(struct)`` hash agg. Both
+    produce identical postings; measured on this box the hash agg WINS
+    whenever the exchange is needed anyway (sorting raw rows costs more
+    than hash-aggregating them — same result as the build-path A/B, see
     ``build_index``), so the Catalyst plan stays the default and the Arrow
     path is for range-partitioned inputs where the sort is nearly free."""
     assert segments, "need at least one segment"
@@ -84,11 +85,12 @@ def merge_segments(
     for p in parts[1:]:
         merged = merged.unionByName(p)
 
-    if use_arrow and not positional:
+    if use_arrow:
         from mini_search_engine_spark.index.build import _blocked_postings_arrow
 
+        cols = ["docid", "dl", "tid", "tf"] + (["positions"] if positional else [])
         postings = _blocked_postings_arrow(
-            merged.select("docid", "dl", "tid", "tf"), span, compress=False
+            merged.select(*cols), span, compress=False, positional=positional
         )
     else:
         blocked = merged.withColumn("block", (F.col("docid") / span).cast("long"))
