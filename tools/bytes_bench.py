@@ -139,6 +139,9 @@ def main():
         out[f"{k}_saving_pct"] = round(100 * (1 - t / s), 1) if s else None
 
     print(json.dumps(out))
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/bytes_ab.json", "w") as f:
+        json.dump(out, f)
     spark.stop()
 
 

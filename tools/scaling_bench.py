@@ -116,10 +116,92 @@ Per-round files/sec: N={r['rounds_files_per_sec']['N']},
 """
 
 
+def _load_json(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def ceiling_md() -> str:
+    """Kernel-ceiling table (tools/kernel_ceiling.py) — rendered NEXT TO
+    the build ratios so the local[32] reading carries its calibration."""
+    data = _load_json(f"{REPO}/BENCH/kernel_ceiling.json")
+    if not data:
+        return ""
+    levels = data["levels"]
+    pairs = [(n, 4 * n) for n in levels if 4 * n in levels]
+    hdr = " | ".join(f"{a}→{b}" for a, b in pairs)
+    rows = []
+    label = {
+        "arith": "pure-python arithmetic (cache-resident)",
+        "tokstem": "tokenize+stopword+stem (engine hot loop, bus-bound)",
+    }
+    for k, v in data["kernels"].items():
+        effs = " | ".join(
+            str(v["efficiency"].get(f"{a}to{b}", "—")) for a, b in pairs
+        )
+        rows.append(f"| {label.get(k, k)} | {effs} |")
+    body = "\n".join(rows)
+    return f"""
+### Hardware ceiling: zero-coordination kernels on this box
+
+Scaling efficiency of K fully independent, core-pinned OS processes (no
+Spark, no shared state — any loss is the box's memory bus, not the
+engine). `tools/kernel_ceiling.py`:
+
+| kernel | {hdr} |
+|---|{"---|" * len(pairs)}
+{body}
+
+An engine ratio at or above the tokstem ceiling for the same pair means
+the build is scaling as well as ANY string-heavy work can on this
+hardware; a real 4N-executor cluster brings 4× memory bandwidth with it.
+"""
+
+
+def bytes_md() -> str:
+    """Term-id dictionary encoding A/B (tools/bytes_bench.py)."""
+    b = _load_json(f"{REPO}/BENCH/bytes_ab.json")
+    if not b:
+        return ""
+    return f"""
+### Term-id dictionary encoding: measured bytes A/B
+
+`tools/bytes_bench.py` ({b['n_docs']} docs, local[{b['cpus']}]): postings
+keyed by 60-bit int tid (r3 layout) vs the same postings carrying the
+term string (r2 layout):
+
+| surface | tid layout | term-string layout | saving |
+|---|---|---|---|
+| postings on disk (bytes) | {b['disk_postings_tid_bytes']} | {b['disk_postings_term_bytes']} | {b['disk_postings_saving_pct']}% |
+| decoded serving cache (bytes) | {b['cache_tid_bytes']} | {b['cache_term_bytes']} | {b['cache_saving_pct']}% |
+| exchange-build shuffle write (bytes) | {b['shuffle_tid_bytes']} | {b['shuffle_term_bytes']} | {b['shuffle_saving_pct']}% |
+| (tid,block) aggregation wall (sec) | {b['agg_tid_sec']} | {b['agg_term_sec']} | {round(100 * (1 - b['agg_tid_sec'] / b['agg_term_sec']), 1)}% |
+
+Honest reading: on THIS synthetic corpus the byte savings are ≈0 — terms
+are short (identifier-grade) and parquet dictionary-encodes the string
+column anyway, so 8-byte ids ≈ short strings on every surface; the wall
+win comes from int vs string hashing/compares in the aggregation and
+from query pushdown becoming an int `IN`. The encoding's real leverage
+is corpora with long terms (URLs, n-grams, CJK segments) and the
+coordination-free merge property (ids are pure hashes — segments merge
+with no dictionary rebase). Kept because it costs nothing at worst and
+structurally removes the O(term-length) factor from every shuffle/scan.
+"""
+
+
 def main():
     # default sized so compute dominates the fixed per-job driver latency
     # (~6 Spark jobs/build): at 300k docs the fixed ~5-7s floor caps
     # measurable efficiency regardless of how well the engine scales.
+    if len(sys.argv) > 1 and sys.argv[1] == "--render":
+        summary = _load_json(f"{REPO}/BENCH/scaling_summary.json")
+        if not summary:
+            raise SystemExit("no BENCH/scaling_summary.json to render")
+        render(summary)
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     corpus = gen_corpus(n_docs)
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
@@ -138,6 +220,18 @@ def main():
         "pairs": results,
         "suite_sf0.1": suite,
     }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling_summary.json", "w") as f:
+        json.dump(summary, f)
+    render(summary)
+    print(json.dumps(summary))
+
+
+def render(summary: dict):
+    results = summary["pairs"]
+    n_docs = summary["corpus_docs"]
+    suite = summary["suite_sf0.1"]
+    rounds = len(results[0]["eff_rounds"]) if results else 0
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     qrows = "\n".join(
@@ -161,20 +255,18 @@ best-case statistic, noise-stripped); median-of-rounds for the same pair:
 interleaved protocol below; the per-pair sections report each.
 
 {sections}
-
-Why two pairs: the parallelism levels share ONE memory bus. Measured
-ceilings on this box for embarrassingly parallel work at 8→32 procs:
-pure-python arithmetic 0.83, standalone tokenize+stem 0.72 — at 2→8
-procs the same kernels measure 0.93-0.95. A real 4N-executor cluster
-brings 4× memory bandwidth and 4× aggregate heap with it, so the
-bus-unsaturated pair is the faithful proxy and the 8→32 pair is a lower
-bound on cluster scaling efficiency. NB the fused shuffle-free build
-(round 2) CUT absolute wall times at every core count — 8-core
-throughput rose ~50%, 32-core ~2.3× vs round 1 — which pushes the box
-into bus saturation at fewer cores and therefore LOWERS the measured
-8→32 ratio even though every configuration got faster; the ratio is a
-property of the box's fixed bandwidth, not of added serial work (the
-fused plan has strictly fewer stages and zero exchanges).
+{ceiling_md()}
+Why two pairs: the parallelism levels share ONE memory bus (the ceiling
+table above quantifies it). A real 4N-executor cluster brings 4× memory
+bandwidth and 4× aggregate heap with it, so the bus-unsaturated pairs
+are the faithful proxy and the 8→32 pair is a lower bound on cluster
+scaling efficiency. NB the fused shuffle-free build (round 2) CUT
+absolute wall times at every core count — which pushes the box into bus
+saturation at fewer cores and therefore LOWERS the measured 8→32 ratio
+even though every configuration got faster; the ratio is a property of
+the box's fixed bandwidth, not of added serial work (the fused plan has
+strictly fewer stages and zero exchanges).
+{bytes_md()}
 
 Measurement protocol: per side, min-of-{os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")}
 steady-state builds per JVM (one untimed full warmup build first), each
@@ -192,7 +284,6 @@ up to 2× in minutes-long windows, which interleaving de-biases.
 |---|---|
 {qrows}
 """)
-    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
