@@ -122,6 +122,9 @@ def main():
         "levels": [run_level(idx, mix, c) for c in levels],
     }
     print(json.dumps(out))
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/serving.json", "w") as f:
+        json.dump(out, f)
     spark.stop()
 
 
