@@ -66,20 +66,23 @@ def _worker(kernel: str, core: int, out_q) -> None:
 
 
 def run_level(kernel: str, procs: int) -> float:
-    """→ aggregate work-units/sec with `procs` pinned processes."""
+    """→ aggregate work-units/sec with `procs` pinned processes.
+
+    Throughput uses the SLOWEST worker's self-reported kernel time — not
+    the parent's wall — so process fork and the pyspark import tax are
+    excluded (they would otherwise dominate at small work sizes and make
+    low-proc levels look slower than they are)."""
     q = mp.Queue()
     ps = [
         mp.Process(target=_worker, args=(kernel, c, q)) for c in range(procs)
     ]
-    t0 = time.time()
     for p in ps:
         p.start()
     for p in ps:
         p.join()
-    wall = time.time() - t0
-    _ = [q.get() for _ in ps]
+    kernel_secs = [q.get() for _ in ps]
     work = ARITH_ITERS if kernel == "arith" else TOKSTEM_DOCS
-    return procs * work / wall
+    return procs * work / max(kernel_secs)
 
 
 def main():
