@@ -27,6 +27,10 @@ from mini_search_engine_spark.index.build import (
 )
 from mini_search_engine_spark.index.merge import merge_segments
 
+# reference: InvertedIndexManager.java:52 — auto-merge all segments when
+# the segment count reaches this
+DEFAULT_MERGE_THRESHOLD = 8
+
 
 def ingest_stream(
     spark: SparkSession,
@@ -59,17 +63,7 @@ def ingest_stream(
             block_span=block_span,
             local_blocks=(analyzer == "porter"),
         )
-        idx.postings.write.mode("overwrite").parquet(
-            f"{index_path}/segments/seg={batch_id}/postings"
-        )
-        idx.doclens.write.mode("overwrite").parquet(
-            f"{index_path}/segments/seg={batch_id}/doclens"
-        )
-        # postings are tid-encoded — persist the segment's (term, tid, df)
-        # dictionary sidecar alongside
-        idx.termstats.write.mode("overwrite").parquet(
-            f"{index_path}/segments/seg={batch_id}/termstats"
-        )
+        write_segment(idx, index_path, str(batch_id))
         idx.unpersist()
 
     reader = (
@@ -84,6 +78,78 @@ def ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> None:
+    """Persist one index segment (postings + doclens + the segment's
+    (term, tid, df) dictionary sidecar — postings are tid-encoded)."""
+    base = f"{index_path}/segments/seg={seg_id}"
+    idx.postings.write.mode("overwrite").parquet(f"{base}/postings")
+    idx.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
+    idx.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+
+
+def num_segments(spark: SparkSession, index_path: str) -> int:
+    """Count committed on-disk segments."""
+    from mini_search_engine_spark.index.build import _hadoop_fs
+
+    fs, path = _hadoop_fs(spark, f"{index_path}/segments")
+    if not fs.exists(path):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("seg=")
+    )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_path: str,
+    threshold: int = DEFAULT_MERGE_THRESHOLD,
+    analyzer: str = "porter",
+    positional: bool = False,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+) -> bool:
+    """Reference LSM merge policy: when the number of committed segments
+    reaches ``threshold``, merge ALL of them into one segment
+    (``InvertedIndexManager.java:52,295-297`` — auto ``mergeAllSegments``
+    at DEFAULT_MERGE_THRESHOLD=8). Returns True iff a compaction ran.
+
+    The merged segment set is written COMPLETE to a sibling root first,
+    then swapped in by directory rename and the old set deleted — the
+    Spark analog of the reference's rename-swap (``:413-431``), under the
+    same single-writer assumption its in-place pairwise merge makes.
+    Globally-unique docids mean no rebase is needed; compaction is purely
+    read-amplification control (fewer (term, block) rows per key)."""
+    from mini_search_engine_spark.index.build import _hadoop_fs
+
+    n = num_segments(spark, index_path)
+    if n < max(threshold, 2):
+        return False
+    merged = compact_segments(
+        read_segmented_index(
+            spark,
+            index_path,
+            analyzer=analyzer,
+            positional=positional,
+            block_span=block_span,
+        )
+    )
+    tmp_root = f"{index_path}/segments_compacting"
+    base = f"{tmp_root}/seg=compact/"
+    merged.postings.write.mode("overwrite").parquet(f"{base}/postings")
+    merged.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
+    merged.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+
+    fs, live = _hadoop_fs(spark, f"{index_path}/segments")
+    _, tmp = _hadoop_fs(spark, tmp_root)
+    _, trash = _hadoop_fs(spark, f"{index_path}/segments_old")
+    fs.delete(trash, True)
+    fs.rename(live, trash)
+    fs.rename(tmp, live)
+    fs.delete(trash, True)
+    return True
 
 
 def read_segmented_index(

@@ -10,8 +10,11 @@ from mini_search_engine_spark.search import bm25_topk, search_and
 from mini_search_engine_spark.streaming import (
     compact_segments,
     ingest_stream,
+    maybe_compact,
+    num_segments,
     read_segmented_index,
     windowed_event_counts,
+    write_segment,
 )
 
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -55,6 +58,42 @@ def test_stream_ingest_and_resume(spark, tmp_path):
     assert hits(compacted) == hits(full)
     # compaction actually reduced (term, block) row count vs segments
     assert compacted.postings.count() <= seg_idx.postings.count()
+
+
+def test_auto_compact_threshold_policy(spark, tmp_path):
+    """Reference LSM policy parity (InvertedIndexManager.java:52,295-297):
+    segments accumulate until the threshold, then ONE merge collapses them
+    all; queries are identical before and after; below-threshold calls are
+    no-ops."""
+    idxp = str(tmp_path / "lsm_idx")
+    for s in range(3):
+        seg = build_index(
+            load_corpus(spark.createDataFrame(_rows(10 * s, 10 * s + 10), SCHEMA)),
+            analyzer="porter",
+            block_span=8,
+        )
+        write_segment(seg, idxp, str(s))
+        seg.unpersist()
+    assert num_segments(spark, idxp) == 3
+
+    # below threshold → no-op
+    assert maybe_compact(spark, idxp, threshold=4, block_span=8) is False
+    assert num_segments(spark, idxp) == 3
+
+    before = read_segmented_index(spark, idxp, block_span=8)
+    hits_before = [r["docid"] for r in search_and(before, ["alpha", "word1"]).collect()]
+    rows_before = before.postings.count()
+
+    # at threshold → merge-all + swap
+    assert maybe_compact(spark, idxp, threshold=3, block_span=8) is True
+    assert num_segments(spark, idxp) == 1
+    after = read_segmented_index(spark, idxp, block_span=8)
+    assert after.n_docs == 30
+    hits_after = [r["docid"] for r in search_and(after, ["alpha", "word1"]).collect()]
+    assert hits_after == hits_before
+    assert after.postings.count() <= rows_before
+    # idempotent: one segment stays one segment
+    assert maybe_compact(spark, idxp, threshold=3, block_span=8) is False
 
 
 def test_windowed_event_counts_batch_parity(spark, sf_dir):
