@@ -105,6 +105,21 @@ class InvertedIndex:
         the compressed form and decode per scan. The returned index OWNS
         the caches (release via ``.unpersist()``)."""
         idx = self.decoded()
+        # Partition-local sort by tid BEFORE pinning: Spark's in-memory
+        # columnar cache keeps min/max stats per ~10k-row batch and skips
+        # batches whose range excludes the query predicate
+        # (inMemoryColumnarStorage.partitionPruning). Fused-build output is
+        # ordered by partition-LOCAL stem id — tid is effectively random in
+        # it, every batch spans the whole 60-bit keyspace, and a query
+        # scans the entire cache; sorted, a Q-term query touches ~Q batches
+        # per partition. One-time narrow cost at warm time (no exchange).
+        # Measured A/B at 1.2M docs, local[32]: hot-term BM25 1.02-1.17 s →
+        # 0.85-0.94 s (~15-20%); selective queries are flat because latency
+        # there is the per-stage-wave scheduling floor (~0.25 s), not scan
+        # bytes — the skip fraction grows with cache size, so the win does.
+        idx = replace(
+            idx, postings=idx.postings.sortWithinPartitions("tid", "block")
+        )
         idx.postings.persist().count()
         idx.doclens.persist().count()
         idx.termstats.persist().count()
