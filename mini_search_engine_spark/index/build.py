@@ -60,6 +60,10 @@ class InvertedIndex:
     compressed: bool = False
     tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
     build_cache: DataFrame | None = None  # the persisted postings+term frame
+    # driver-side per-term df memo, enabled on warm() (serving indexes are
+    # immutable): repeated query terms skip the termstats-lookup job, one
+    # fewer stage wave per repeated-term query. 0 = negative-cached absent.
+    df_cache: dict | None = None
 
     def unpersist(self) -> None:
         """Release EVERY cache this index owns: build-side persists
@@ -123,7 +127,7 @@ class InvertedIndex:
         idx.postings.persist().count()
         idx.doclens.persist().count()
         idx.termstats.persist().count()
-        return idx
+        return replace(idx, df_cache={})
 
 
 def tokenize_docs(

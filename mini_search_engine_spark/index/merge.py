@@ -172,4 +172,5 @@ def delete_terms(index: InvertedIndex, keywords: list[str]) -> InvertedIndex:
     tids = term_ids(terms)
     postings = index.postings.filter(~F.col("tid").isin(tids))
     termstats = index.termstats.filter(~F.col("tid").isin(tids))
-    return replace(index, postings=postings, termstats=termstats)
+    # drop any warm-mode df memo: deleted terms must not resolve from it
+    return replace(index, postings=postings, termstats=termstats, df_cache=None)

@@ -58,8 +58,25 @@ def _analyzed_with_counts(index: InvertedIndex, keywords: list[str]) -> Counter:
 
 
 def _df_map(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
-    rows = index.termstats.filter(F.col("term").isin(terms)).collect()
-    return {r["term"]: int(r["df"]) for r in rows}
+    """term → df for the (few) analyzed query terms. On a warm index the
+    dfs are memoized driver-side (``InvertedIndex.df_cache``; a warm index
+    is immutable, so entries never go stale) — a repeated-term query skips
+    this lookup job entirely, one fewer sequential stage wave at serving
+    time. Absent terms are negative-cached as 0 (callers treat 0 as
+    missing already)."""
+    cache = index.df_cache
+    if cache is None:
+        rows = index.termstats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        found = {
+            r["term"]: int(r["df"])
+            for r in index.termstats.filter(F.col("term").isin(missing)).collect()
+        }
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in terms if cache[t]}
 
 
 def _exploded(posts: DataFrame) -> DataFrame:

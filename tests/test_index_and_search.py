@@ -169,6 +169,30 @@ def test_bm25_pruned_matches_exact(index):
         assert exact == pruned
 
 
+def test_warm_df_memo(corpus):
+    """The warm index memoizes per-term dfs driver-side: repeated queries
+    answer identically (memo-hit path == lookup path == cold path), absent
+    terms are negative-cached, and delete_terms drops the memo so deleted
+    terms cannot resolve from it."""
+    from mini_search_engine_spark.index.merge import delete_terms
+
+    idx = build_index(corpus, analyzer="porter", block_span=4, compress=True)
+    warm = idx.warm()
+    assert warm.df_cache == {}
+    cold = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(idx, ["cat", "dog"], 5).collect()]
+    w1 = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(warm, ["cat", "dog"], 5).collect()]
+    w2 = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(warm, ["cat", "dog"], 5).collect()]
+    assert w1 == w2 == cold
+    assert warm.df_cache["cat"] > 0 and warm.df_cache["dog"] > 0
+    assert bm25_topk(warm, ["zzzunseen"], 5).collect() == []
+    assert 0 in warm.df_cache.values()  # absent term negative-cached
+    deleted = delete_terms(warm, ["cat"])
+    assert deleted.df_cache is None
+    assert bm25_topk(deleted, ["cat"], 5).collect() == []
+    warm.unpersist()
+    idx.unpersist()
+
+
 def test_compressed_roundtrip_index(corpus):
     idx = build_index(corpus, analyzer="porter", block_span=4, compress=True)
     rows = idx.decoded().postings.filter("term = 'cat'").collect()
