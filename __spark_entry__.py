@@ -41,6 +41,7 @@ from mini_search_engine_spark.search import (
     pagerank,
     search_and,
     search_keyword,
+    search_near,
     search_or,
     search_phrase,
     search_tfidf,
@@ -126,6 +127,12 @@ def q_or(spark, sf_dir):
 
 def q_phrase(spark, sf_dir):
     return search_phrase(_index(spark, sf_dir, positional=True), "batch batch")
+
+
+def q_near(spark, sf_dir):
+    """Ordered proximity: 'spark' then 'merge' within 3 positions (slop=3)
+    — the positional-chain generalization of phrase search."""
+    return search_near(_index(spark, sf_dir, positional=True), ["spark", "merge"], slop=3)
 
 
 def q_tfidf(spark, sf_dir):
@@ -375,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_search_segments": q_and_segments,
         "or_search": q_or,
         "phrase_search": q_phrase,
+        "near_search": q_near,
         "tfidf_topk": q_tfidf,
         "bm25_topk": q_bm25,
         "bm25_topk_pruned": q_bm25_pruned,
@@ -533,6 +541,12 @@ p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos F
 SELECT DISTINCT a.doc_id AS docid
 FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'batch' AND b.term = 'batch' ORDER BY docid"""
+
+    sqls["near_search"] = f"""WITH {_TL},
+p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT DISTINCT a.doc_id AS docid
+FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+WHERE a.term = 'spark' AND b.term = 'merge' ORDER BY docid"""
 
     sqls["tfidf_topk"] = f"""WITH {_TFIDF_CORE}
 SELECT doc_id AS docid, round(dot / sqrt(len2), 6) AS score

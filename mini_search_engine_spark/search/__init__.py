@@ -5,6 +5,7 @@ from mini_search_engine_spark.search.boolean import (
     search_and,
     search_and_segments,
     search_or,
+    search_near,
     search_phrase,
 )
 from mini_search_engine_spark.search.ranking import (
@@ -19,6 +20,7 @@ __all__ = [
     "search_and",
     "search_and_segments",
     "search_or",
+    "search_near",
     "search_phrase",
     "search_tfidf",
     "bm25_topk",

@@ -159,12 +159,20 @@ def search_or(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     )
 
 
-def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
-    """Docs containing the analyzed phrase tokens consecutively, in order."""
+def _positional_chain(
+    index: InvertedIndex, phrase: str | list[str], slop: int
+) -> DataFrame:
+    """Shared machinery for phrase (slop=1) and ordered-proximity search:
+    docs where the analyzed tokens appear in order with every consecutive
+    gap ≤ ``slop`` positions. The survivor fold stays pure Catalyst array
+    ops — for slop=1 it is the reference's adjacency fold verbatim; for
+    slop>1 each step is the union of the ``slop`` shifted intersections."""
     if not index.positional:
         raise NotImplementedError(
             "phrase search requires a positional index"  # reference `:1107-1108`
         )
+    if slop < 1:
+        raise ValueError("slop must be >= 1 (1 = exact phrase adjacency)")
     text = " ".join(phrase) if isinstance(phrase, list) else phrase
     terms = analyze_query(text, index.analyzer)
     if not terms:
@@ -186,10 +194,20 @@ def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
         )
         joined = cur if joined is None else joined.join(cur, "docid")
 
+    def _shifted_intersect(surv, d: int, pos_col):
+        # NB the closure must expose a ONE-argument lambda: pyspark's
+        # ``transform`` inspects arity, and a second (default) parameter
+        # would be bound to the array index
+        return F.array_intersect(F.transform(surv, lambda p: p + d), pos_col)
+
     surv = F.col("pos_0")
     for i in range(1, len(terms)):
-        surv = F.array_intersect(
-            F.transform(surv, lambda p: p + 1), F.col(f"pos_{i}")
+        shifted = [
+            _shifted_intersect(surv, d, F.col(f"pos_{i}"))
+            for d in range(1, slop + 1)
+        ]
+        surv = shifted[0] if len(shifted) == 1 else F.array_distinct(
+            F.concat(*shifted)
         )
     return (
         joined.withColumn("surv", surv)
@@ -197,3 +215,19 @@ def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
         .select("docid")
         .orderBy("docid")
     )
+
+
+def search_phrase(index: InvertedIndex, phrase: str | list[str]) -> DataFrame:
+    """Docs containing the analyzed phrase tokens consecutively, in order."""
+    return _positional_chain(index, phrase, slop=1)
+
+
+def search_near(
+    index: InvertedIndex, phrase: str | list[str], slop: int = 2
+) -> DataFrame:
+    """Ordered proximity search: the analyzed tokens appear in order with
+    each consecutive gap ≤ ``slop`` token positions (``slop=1`` degrades
+    to exact phrase). Beyond the reference's surface (exact phrase only) —
+    the standard query-log/training-data proximity primitive, built from
+    the same positional index with no extra state."""
+    return _positional_chain(index, phrase, slop)

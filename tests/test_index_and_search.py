@@ -169,6 +169,47 @@ def test_bm25_pruned_matches_exact(index):
         assert exact == pruned
 
 
+def test_search_near_proximity(spark):
+    """Ordered proximity semantics: gap ≤ slop, order enforced, slop=1 ≡
+    exact phrase."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.search import search_near, search_phrase
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "t", 0),  # alpha..gamma gap 2
+        (1, "alpha gamma delta", "en", "t", 0),  # gap 1 (adjacent)
+        (2, "gamma beta alpha", "en", "t", 0),  # wrong order
+        (3, "alpha beta beta beta gamma", "en", "t", 0),  # gap 4
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    idx = build_index(docs, analyzer="punct_nostem", block_span=4, positional=True)
+
+    def near(slop):
+        return [r["docid"] for r in search_near(idx, ["alpha", "gamma"], slop=slop).collect()]
+
+    assert near(1) == [1]
+    assert near(2) == [0, 1]
+    assert near(4) == [0, 1, 3]
+    # slop=1 is exactly phrase search
+    ph = [r["docid"] for r in search_phrase(idx, ["alpha", "gamma"]).collect()]
+    assert near(1) == ph
+    # three-term chain: every consecutive gap must satisfy the slop — doc 3
+    # matches through its MIDDLE beta (alpha@0 → beta@2 → gamma@4)
+    assert [
+        r["docid"]
+        for r in search_near(idx, ["alpha", "beta", "gamma"], slop=2).collect()
+    ] == [0, 3]
+    assert [
+        r["docid"]
+        for r in search_near(idx, ["alpha", "beta", "gamma"], slop=1).collect()
+    ] == [0]
+    idx.unpersist()
+
+
 def test_warm_df_memo(corpus):
     """The warm index memoizes per-term dfs driver-side: repeated queries
     answer identically (memo-hit path == lookup path == cold path), absent
