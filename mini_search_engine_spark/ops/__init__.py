@@ -16,6 +16,7 @@ from mini_search_engine_spark.ops.ann import (
     ivf_assign,
     ivf_cosine_topk,
     ivf_fit_centroids,
+    ivf_fit_centroids_distributed,
     lsh_cosine_pairs,
     lsh_cosine_topk,
     read_ivf_index,
@@ -40,6 +41,7 @@ __all__ = [
     "ivf_assign",
     "ivf_cosine_topk",
     "ivf_fit_centroids",
+    "ivf_fit_centroids_distributed",
     "read_ivf_index",
     "write_ivf_index",
     "lsh_cosine_pairs",

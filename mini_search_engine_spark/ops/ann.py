@@ -200,6 +200,64 @@ def ivf_fit_centroids(
     return cent
 
 
+def ivf_fit_centroids_distributed(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means with DISTRIBUTED assignment and centroid sums —
+    the scale path when a driver-side sample can't represent the corpus
+    (``ivf_fit_centroids`` stays the default: sample-fit is standard IVF
+    practice and costs one small job).
+
+    Per iteration: broadcast the (k × dim) centroid matrix into the
+    assignment UDF, then ``posexplode`` each vector and aggregate
+    ``sum(component)`` by (list, dim). Map-side partial aggregation
+    collapses every partition to ≤ k×dim rows before the exchange, so the
+    shuffle is O(partitions × k × dim) regardless of corpus size; only
+    the k×dim result reaches the driver. Init is the ``n_centroids``
+    lowest-id vectors (deterministic, same as the sample fit), so on a
+    corpus the sample fit covers fully the two agree to float-sum order."""
+    init_rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    cent = np.asarray([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+        # unit-normalize per row BEFORE summing (spherical k-means mean of
+        # unit vectors), elementwise via transform — no Python in the agg
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+        unit = F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))
+        )
+        sums = (
+            assigned.select("ivf_list", F.posexplode(unit).alias("dim", "val"))
+            .groupBy("ivf_list", "dim")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["ivf_list"], np.zeros(cent.shape[1]))[r["dim"]] = r["s"]
+        for c, v in acc.items():
+            if np.linalg.norm(v) > 0:
+                new_cent[c] = v  # spherical: direction of the sum == mean
+        cent = new_cent
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: np.ndarray,

@@ -205,6 +205,29 @@ def test_fingerprints_rolling(dup_corpus):
         assert got[d] == ref(t), d
 
 
+def test_ivf_distributed_fit_matches_sample_fit(vectors):
+    """On a corpus the sample fit covers fully, the distributed k-means
+    (posexplode + map-side partial sums; only k×dim rows reach the driver)
+    must agree with the driver-side sample fit — same deterministic init,
+    same spherical updates — to float-sum order: identical assignments and
+    near-identical centroids."""
+    import numpy as np
+
+    from mini_search_engine_spark.ops import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_fit_centroids_distributed,
+    )
+
+    cs = ivf_fit_centroids(vectors, n_centroids=8, n_iter=3)
+    cd = ivf_fit_centroids_distributed(vectors, n_centroids=8, n_iter=3)
+    assert cd.shape == cs.shape
+    assert np.allclose(cs, cd, atol=1e-8), np.abs(cs - cd).max()
+    a_s = {r["vec_id"]: r["ivf_list"] for r in ivf_assign(vectors, cs).collect()}
+    a_d = {r["vec_id"]: r["ivf_list"] for r in ivf_assign(vectors, cd).collect()}
+    assert a_s == a_d
+
+
 def test_ivf_cosine_topk(vectors):
     """IVF: full-probe equals the exact scan; partial probe keeps high
     self-recall and returns a subset-restricted exact result."""
