@@ -41,12 +41,21 @@ def ingest_stream(
     positional: bool = False,
     block_span: int = DEFAULT_BLOCK_SPAN,
     available_now: bool = True,
+    auto_compact: bool = False,
+    merge_threshold: int = DEFAULT_MERGE_THRESHOLD,
 ):
     """Stream corpus files from ``input_path`` into per-batch index segments.
 
     Returns the StreamingQuery; call ``.awaitTermination()``. Checkpointed —
     a killed run resumes from the last committed micro-batch (this is the
     streaming counterpart of lineage-based batch resume).
+
+    ``auto_compact=True`` reproduces the reference's inline policy: after
+    each committed segment, merge ALL segments once the count reaches
+    DEFAULT_MERGE_THRESHOLD (``InvertedIndexManager.java:295-297`` blocks
+    addDocument the same way). Default off — a production stream keeps
+    triggers short and runs ``maybe_compact`` as a separate maintenance
+    job against the same segment root.
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -65,6 +74,15 @@ def ingest_stream(
         )
         write_segment(idx, index_path, str(batch_id))
         idx.unpersist()
+        if auto_compact:
+            maybe_compact(
+                spark,
+                index_path,
+                threshold=merge_threshold,
+                analyzer=analyzer,
+                positional=positional,
+                block_span=block_span,
+            )
 
     reader = (
         spark.readStream.schema(schema)

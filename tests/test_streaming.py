@@ -60,6 +60,35 @@ def test_stream_ingest_and_resume(spark, tmp_path):
     assert compacted.postings.count() <= seg_idx.postings.count()
 
 
+def test_stream_ingest_inline_auto_compact(spark, tmp_path):
+    """auto_compact=True triggers the reference's inline merge policy from
+    the stream itself: once the committed segment count reaches the
+    threshold, the batch handler merges all segments before returning."""
+    inp = str(tmp_path / "incoming")
+    idxp = str(tmp_path / "ac_idx")
+
+    spark.createDataFrame(_rows(0, 20), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest_stream(spark, inp, idxp, SCHEMA, block_span=8, auto_compact=True, merge_threshold=2)
+    q.awaitTermination(120)
+    assert num_segments(spark, idxp) == 1  # below threshold: untouched
+
+    spark.createDataFrame(_rows(20, 30), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q2 = ingest_stream(spark, inp, idxp, SCHEMA, block_span=8, auto_compact=True, merge_threshold=2)
+    q2.awaitTermination(120)
+    assert num_segments(spark, idxp) == 1  # second segment triggered the merge
+
+    seg_idx = read_segmented_index(spark, idxp, block_span=8)
+    assert seg_idx.n_docs == 30
+    full = build_index(
+        load_corpus(spark.createDataFrame(_rows(0, 30), SCHEMA)),
+        analyzer="porter",
+        block_span=8,
+    )
+    got = [r["docid"] for r in search_and(seg_idx, ["alpha", "word1"]).collect()]
+    want = [r["docid"] for r in search_and(full, ["alpha", "word1"]).collect()]
+    assert got == want
+
+
 def test_auto_compact_threshold_policy(spark, tmp_path):
     """Reference LSM policy parity (InvertedIndexManager.java:52,295-297):
     segments accumulate until the threshold, then ONE merge collapses them
