@@ -290,16 +290,27 @@ def q_ann_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
     cent = ivf_fit_centroids(emb, n_centroids=8, n_iter=4)
-    # deterministic scratch path (overwritten per run — no unbounded /tmp
-    # growth); must outlive this function: the driver collects the
-    # returned DataFrame lazily
-    path = f"/tmp/mse_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    # scratch path keyed by corpus dir AND Spark application id: two
+    # concurrent runs over same-named corpus dirs must not overwrite each
+    # other's on-disk index while the returned DataFrame is still lazily
+    # read (per-app suffix also bounds /tmp growth: one dir per app run,
+    # overwritten across repeated calls within the app)
+    path = "/tmp/mse_ivf_index_{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)), spark.sparkContext.applicationId
+    )
     write_ivf_index(ivf_assign(emb, cent), path)
     disk = read_ivf_index(spark, path)
 
     def _assert_partition_filters(df):
+        # non-vacuous check: 'ivf_list' must appear INSIDE a non-empty
+        # PartitionFilters [...] list (every parquet scan prints a
+        # 'PartitionFilters:' header even when pruning regressed to '[]',
+        # and 'ivf_list' alone also matches ordinary post-scan Filters)
+        import re
+
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("ivf_list" in body for body in pf), plan
 
     _assert_partition_filters(ivf_cosine_topk(disk, cent, q, k=10, nprobe=2))
     out = ivf_cosine_topk(disk, cent, q, k=10, nprobe=8)

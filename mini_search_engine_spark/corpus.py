@@ -36,27 +36,44 @@ def assign_docids(
     order_cols: list[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Assign dense, deterministic long docids by global order of order_cols.
+    """Assign dense, deterministic long docids ordered by
+    (hash-bucket of order_cols, order_cols).
 
-    Scale path: range-partition + partition-local sort, count rows per
-    partition (tiny driver-side cumsum), then add the partition offset to a
-    partition-local row number computed in one Arrow pass. No global sort
-    collapse onto a single reducer; the only full-data movement is the
-    range exchange, which a 1000-executor cluster does in parallel.
+    Scale path: hash-partition on order_cols + partition-local sort, count
+    rows per partition (tiny driver-side cumsum), then add the partition
+    offset to a partition-local row number computed in one Arrow pass. No
+    global sort collapse onto a single reducer; the only full-data movement
+    is the hash exchange, which a 1000-executor cluster does in parallel.
+    Hash (not range) partitioning is the load-bearing choice: the partition
+    id is ``pmod(murmur3(order_cols), n)`` — a pure function of the row, so
+    a RE-EXECUTION of this plan (cache eviction, executor loss, a rebuild
+    after the cache was released) reproduces the identical docids, where
+    ``repartitionByRange`` would re-sample bounds per execution and shift
+    every id. It also immunizes the exchange against giant-repo skew.
+
+    Each output partition still covers one contiguous docid range
+    (``[offset_p, offset_p + count_p)``) — what ``local_blocks=True``
+    builds require. Determinism holds for a fixed ``num_partitions``;
+    resumable flows should pass it explicitly rather than inherit
+    ``defaultParallelism`` (SURVEY.md §7.1 trap #5).
 
     Replaces the reference's arrival-order assignment
-    (``InvertedIndexManager.java:162-166``) with a resume-stable rule
-    (SURVEY.md §7.1 trap #5).
+    (``InvertedIndexManager.java:162-166``) with a resume-stable rule.
+    The persisted exchange output is attached to the returned DataFrame as
+    ``_corpus_cache`` (a pure read-amortization cache — recomputation is
+    deterministic); release it with ``release_corpus_cache`` or let
+    ``InvertedIndex.unpersist()`` do so when the index built from it is
+    retired (VERDICT r3 item 2: previously this cache pinned O(corpus)
+    blocks for the session lifetime with no release path).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        df.repartition(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        # persist is CORRECTNESS here, not caching: repartitionByRange
-        # samples range bounds per execution, so the counts job and the
-        # id-assignment job below must see the SAME materialized
-        # partitioning or offsets mismatch → docid collisions.
+        # perf, not correctness: the counts job, the id-stamping pass and
+        # every downstream build action reuse one materialization of the
+        # exchange instead of re-shuffling the corpus per action
         .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
@@ -82,16 +99,32 @@ def assign_docids(
             seen += len(pdf)
             yield pdf
 
-    out = parted.mapInPandas(add_ids, schema=schema)
-    return out.drop("_pid")
+    out = parted.mapInPandas(add_ids, schema=schema).drop("_pid")
+    out._corpus_cache = parted
+    return out
+
+
+def release_corpus_cache(df: DataFrame) -> bool:
+    """Unpersist the exchange cache ``assign_docids`` attached to ``df``
+    (propagated through ``load_corpus``). No-op for corpora that never had
+    one (the doc_id testdata shape). Safe: recomputation of the released
+    plan is deterministic (hash partitioning). Returns True iff a cache
+    was released."""
+    cache = getattr(df, "_corpus_cache", None)
+    if cache is None:
+        return False
+    cache.unpersist()
+    return True
 
 
 def load_corpus(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Canonicalize either supported shape to (docid, content, lang, sha, …).
 
-    The input_hint shape comes back range-partitioned by docid (a side
-    effect of ``assign_docids``) — keep that partitioning when building
-    with ``local_blocks=True``."""
+    The input_hint shape comes back with each partition covering one
+    CONTIGUOUS docid range (a property of ``assign_docids``'s
+    offset-stamping) — keep that partitioning when building with
+    ``local_blocks=True``. The attached ``_corpus_cache`` release handle
+    propagates to the returned frame (see ``release_corpus_cache``)."""
     cols = set(df.columns)
     if {"doc_id", "text"} <= cols:
         out = df.withColumnRenamed("doc_id", "docid").withColumnRenamed("text", "content")
@@ -105,7 +138,14 @@ def load_corpus(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
             out = out.repartitionByRange(num_partitions, "docid")
     elif {"repo", "path", "content"} <= cols:
         out = assign_docids(df, ["repo", "path"], num_partitions=num_partitions)
+        cache = out._corpus_cache
         out = out.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
+        final = with_sha(out)
+        # re-attach through the transforms: DataFrame attributes don't
+        # survive withColumn, and the release handle must ride on the
+        # frame callers actually hold
+        final._corpus_cache = cache
+        return final
     else:
         raise ValueError(f"unrecognized corpus schema: {sorted(cols)}")
     return with_sha(out)

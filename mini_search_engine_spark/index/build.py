@@ -60,24 +60,35 @@ class InvertedIndex:
     compressed: bool = False
     tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
     build_cache: DataFrame | None = None  # the persisted postings+term frame
+    # the corpus exchange cache assign_docids attached to the input docs
+    # (None for corpora that never had one); released by unpersist() so an
+    # input_hint-shaped build can't pin O(corpus) blocks past retirement
+    corpus_cache: DataFrame | None = None
     # driver-side per-term df memo, enabled on warm() (serving indexes are
     # immutable): repeated query terms skip the termstats-lookup job, one
     # fewer stage wave per repeated-term query. 0 = negative-cached absent.
     df_cache: dict | None = None
 
-    def unpersist(self) -> None:
+    def unpersist(self, corpus: bool = True) -> None:
         """Release EVERY cache this index owns: build-side persists
-        (postings + token frame) and the serving-mode pins ``warm()`` takes
-        on doclens/termstats. Needed when building repeatedly in one
-        session (Spark's cache manager matches by logical plan, so a later
-        identical build would silently reuse this build's cache) and when
-        retiring a warm serving index (doclens/termstats are O(n_docs) /
-        O(vocab) and would otherwise leak for the session lifetime)."""
+        (postings + token frame), the serving-mode pins ``warm()`` takes
+        on doclens/termstats, and (``corpus=True``) the corpus exchange
+        cache ``assign_docids`` attached to the input docs. Needed when
+        building repeatedly in one session (Spark's cache manager matches
+        by logical plan, so a later identical build would silently reuse
+        this build's cache) and when retiring a warm serving index
+        (doclens/termstats are O(n_docs) / O(vocab) and would otherwise
+        leak for the session lifetime). Pass ``corpus=False`` when more
+        indexes will be built from the SAME corpus frame (e.g. the
+        per-part builds of ``resumable_build``) — recomputation after a
+        release is deterministic, just not free."""
         self.postings.unpersist()
         if self.tf is not None:
             self.tf.unpersist()
         if self.build_cache is not None:
             self.build_cache.unpersist()
+        if corpus and self.corpus_cache is not None:
+            self.corpus_cache.unpersist()
         for df in (self.doclens, self.termstats):
             if df is not None and df.is_cached:
                 df.unpersist()
@@ -912,6 +923,7 @@ def build_index(
     block_span: int | None = None,
     compress: bool = False,
     local_blocks: bool = False,
+    check_tid_collisions: bool = True,
 ) -> InvertedIndex:
     """Build the blocked postings table + stats from a canonical corpus.
 
@@ -920,7 +932,17 @@ def build_index(
     (term, block). Per-block ``ub`` (BM25 upper bound from max_tf) is
     precomputed for query-time block pruning. ``block_span=None`` sizes
     blocks to the corpus (see ``auto_block_span``).
+
+    ``check_tid_collisions`` (default ON — VERDICT r3 item 5) runs the
+    60-bit term-id collision detector over the termstats sidecar before
+    returning: a silent collision would merge two posting lists
+    undetected. Cost: one vocabulary-sized aggregation, which also
+    materializes the persisted postings cache (builds were already eager —
+    this moves first-touch forward, it does not add a second pass). Gate
+    it off only for throughput microbenchmarks that never query the index.
     """
+    from mini_search_engine_spark.index.termid import assert_no_tid_collisions
+
     n_docs = docs.count()
     if block_span is None:
         block_span = auto_block_span(n_docs)
@@ -936,6 +958,13 @@ def build_index(
         ).persist()
         doclens = doc_lengths(docs, analyzer)
         total_tokens = doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
+        if check_tid_collisions:
+            # on the PRE-aggregation frame: _termstats_of collapses to one
+            # row per tid (min(term)), which would make the check vacuous.
+            # The fused kernel's sparse dictionary emits every distinct
+            # string at least once per partition, so colliding terms both
+            # surface here even when they share a partition and block.
+            assert_no_tid_collisions(full.select("term", "tid"))
         return InvertedIndex(
             postings=full.drop("term"),
             doclens=doclens,
@@ -948,10 +977,13 @@ def build_index(
             compressed=compress,
             tf=None,
             build_cache=full,
+            corpus_cache=getattr(docs, "_corpus_cache", None),
         )
 
-    # One analyzer pass: tf carries dl (Lucene-norms style denormalization),
+    # One analyzer pass: tf carries dl denormalized onto every token row,
     # so BM25 needs no query-time doclens join — only broadcast scalars/df.
+    # (The fused local_blocks path realizes the same denormalization as a
+    # per-block dls array parallel to docids/tfs, not a per-row column.)
     # Persisted: postings, doclens and the stats action all reuse it.
     # The tid (JVM-side 60-bit hash of the term, see index/termid.py) is
     # stamped here so every downstream group/sort/shuffle keys on ints.
@@ -1041,6 +1073,12 @@ def build_index(
     total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
+    if check_tid_collisions:
+        # on the token frame, not the (tid, block)-aggregated postings: a
+        # same-block collision would be collapsed by that agg's min(term).
+        # count_distinct partial-aggregates to distinct (term, tid) pairs
+        # map-side, so this is a vocabulary-sized exchange, not a token one.
+        assert_no_tid_collisions(tf.select("term", "tid"))
     return InvertedIndex(
         postings=full.drop("term"),
         doclens=doclens,
@@ -1053,6 +1091,7 @@ def build_index(
         compressed=compress,
         tf=tf,
         build_cache=full,
+        corpus_cache=getattr(docs, "_corpus_cache", None),
     )
 
 

@@ -61,7 +61,15 @@ def term_id_col(col: Column) -> Column:
 
 def assert_no_tid_collisions(termstats: DataFrame) -> None:
     """Build-time collision detector: every tid maps to exactly one term.
-    One aggregation over the vocabulary-sized termstats sidecar."""
+    One aggregation, vocabulary-sized after map-side partial dedup.
+
+    Feed it a frame that can carry MULTIPLE (term, tid) rows per tid —
+    the pre-aggregation postings/token frame or the per-part sidecar
+    union. An already-collapsed dictionary (one ``min(term)`` row per
+    tid) makes the check vacuous. Null terms (the fused kernel's sparse
+    dictionary column) are ignored by ``count_distinct``. Auto-run by
+    ``build_index`` (flag ``check_tid_collisions``) and
+    ``finalize_index`` (VERDICT r3 item 5)."""
     bad = (
         termstats.groupBy("tid")
         .agg(F.count_distinct("term").alias("nt"))

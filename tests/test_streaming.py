@@ -125,6 +125,62 @@ def test_auto_compact_threshold_policy(spark, tmp_path):
     assert maybe_compact(spark, idxp, threshold=3, block_span=8) is False
 
 
+def test_compaction_replay_safety(spark, tmp_path):
+    """A micro-batch replayed AFTER a compaction folded its segment must
+    not duplicate its documents (stream died between maybe_compact and the
+    batch commit): write_segment refuses ids in the seg=compact folded
+    manifest, and the read path skips a straggler dir even if one was
+    force-written. Successive compactions union their manifests."""
+    from mini_search_engine_spark.streaming.ingest import folded_seg_ids, live_seg_ids
+
+    idxp = str(tmp_path / "replay_idx")
+    segs = {}
+    for s in range(3):
+        seg = build_index(
+            load_corpus(spark.createDataFrame(_rows(10 * s, 10 * s + 10), SCHEMA)),
+            analyzer="porter",
+            block_span=8,
+        )
+        assert write_segment(seg, idxp, str(s)) is True
+        segs[s] = seg
+    assert maybe_compact(spark, idxp, threshold=3, block_span=8) is True
+    assert folded_seg_ids(spark, idxp) == {"0", "1", "2"}
+
+    # replayed batch 2: the write is a no-op and the index is unchanged
+    assert write_segment(segs[2], idxp, "2") is False
+    idx = read_segmented_index(spark, idxp, block_span=8)
+    assert idx.n_docs == 30 and idx.doclens.count() == 30
+
+    # a straggler dir force-written around the check (pre-fix writer /
+    # partial replay) is invisible to the read path and the seg count
+    base = f"{idxp}/segments/seg=1"
+    segs[1].postings.write.mode("overwrite").parquet(f"{base}/postings")
+    segs[1].doclens.write.mode("overwrite").parquet(f"{base}/doclens")
+    segs[1].termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    assert live_seg_ids(spark, idxp) == ["compact"]
+    assert num_segments(spark, idxp) == 1
+    idx2 = read_segmented_index(spark, idxp, block_span=8)
+    assert idx2.n_docs == 30 and idx2.doclens.count() == 30
+
+    # second-generation compaction: new batches fold in and the manifest
+    # accumulates, so EVERY historical batch id stays replay-protected
+    for s in (3, 4):
+        seg = build_index(
+            load_corpus(spark.createDataFrame(_rows(10 * s, 10 * s + 10), SCHEMA)),
+            analyzer="porter",
+            block_span=8,
+        )
+        assert write_segment(seg, idxp, str(s)) is True
+        segs[s] = seg
+    assert maybe_compact(spark, idxp, threshold=3, block_span=8) is True
+    assert folded_seg_ids(spark, idxp) == {"0", "1", "2", "3", "4"}
+    assert write_segment(segs[0], idxp, "0") is False
+    idx3 = read_segmented_index(spark, idxp, block_span=8)
+    assert idx3.n_docs == 50 and idx3.doclens.count() == 50
+    for seg in segs.values():
+        seg.unpersist()
+
+
 def test_windowed_event_counts_batch_parity(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     got = windowed_event_counts(ev, window="1 hour")

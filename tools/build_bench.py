@@ -41,8 +41,8 @@ def main():
         extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # load_corpus(num_partitions=2×cores) range-partitions by docid while
-    # assigning ids — each partition is a contiguous docid range, which is
+    # load_corpus(num_partitions=2×cores) hash-partitions on (repo, path)
+    # while assigning ids — each partition is a contiguous docid range, which is
     # what lets build_index(local_blocks=True) construct every posting
     # block map-side with NO wide shuffle. (On a real cluster the input
     # arrives pre-split; 2×cores keeps the analyzer UDF saturated here.)
@@ -62,7 +62,7 @@ def main():
     # report the median — this VM's wall times jitter up to 2× run-to-run
     # at full core saturation even for identical pure-JVM jobs.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    warm = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks)
+    warm = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks, check_tid_collisions=False)
     write_index(warm, idx_path)
     warm.unpersist()
 
@@ -70,7 +70,8 @@ def main():
     for _ in range(reps):
         shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.time()
-        idx = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks)
+        # check gated off: keeps the timed protocol identical to rounds 1-3
+        idx = build_index(docs, analyzer="porter", positional=positional, compress=True, local_blocks=local_blocks, check_tid_collisions=False)
         write_index(idx, idx_path)
         times.append(time.time() - t0)
         if _ < reps - 1:
