@@ -147,6 +147,24 @@ def q_bm25(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+def q_bm25_fused_cold(spark, sf_dir):
+    """The warm-serving cold-term BM25 path (VERDICT r3 item 6): a
+    ``warm()``-pinned index with an EMPTY df memo routes through
+    ``_bm25_topk_fused_cold`` — df recovered inside the scoring job via a
+    tid-window over the per-block n, one driver round trip. Shares the
+    bm25_topk oracle: the fused plan must be score-identical to the
+    probe+literal plan (and to DuckDB)."""
+    idx = build_index(
+        load_documents(spark, sf_dir),
+        analyzer=ANALYZER,
+        block_span=BLOCK_SPAN,
+        compress=True,
+    ).warm()
+    assert idx.df_cache == {}  # cold: the fused path is the one exercised
+    raw = bm25_topk(idx, ["spark", "merge"], topk=50)
+    return _round_score(raw, k=10)
+
+
 def q_bm25_pruned(spark, sf_dir):
     raw = bm25_topk(
         _index(spark, sf_dir), ["filter", "join", "scan"], topk=50, prune=True
@@ -396,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": q_near,
         "tfidf_topk": q_tfidf,
         "bm25_topk": q_bm25,
+        "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "term_df": q_term_df,
         "doclens": q_doclens,
@@ -564,6 +583,7 @@ SELECT doc_id AS docid, round(dot / sqrt(len2), 6) AS score
 FROM s ORDER BY round(dot / sqrt(len2), 6) DESC, docid LIMIT 10"""
 
     sqls["bm25_topk"] = _bm25_sql(["spark", "merge"])
+    sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
 
     sqls["term_df"] = f"""WITH {_TOK}

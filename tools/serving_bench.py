@@ -67,9 +67,20 @@ def build_query_mix(idx) -> list:
 
 def run_level(idx, mix, concurrency: int) -> dict:
     lat: list[float] = []
+    sc = idx.postings.sparkSession.sparkContext
 
     def one(job):
         _, fn = job
+        # per-caller scheduler pool: with spark.scheduler.mode=FAIR and no
+        # allocation file, every job lands in the single "default" pool,
+        # whose INTERNAL scheduling is FIFO — concurrent queries still
+        # convoy. Distinct on-demand pools (one per caller thread) make
+        # the root scheduler round-robin task slots ACROSS queries, which
+        # is what "FAIR serving" actually requires. setLocalProperty is
+        # thread-local, so this maps 1:1 to the caller.
+        import threading
+
+        sc.setLocalProperty("spark.scheduler.pool", f"caller-{threading.get_ident()}")
         t0 = time.time()
         fn(idx).collect()
         return time.time() - t0
