@@ -1,9 +1,16 @@
-"""Structured Streaming surfaces: incremental index ingest + event windows."""
+"""Structured Streaming surfaces: incremental index ingest + event windows.
+
+Segment commits go through the snapshot-file protocol in
+``streaming.snapshots`` (atomic single-file metadata commit, immutable
+segment dirs — the Iceberg-style replacement for directory rename-swaps
+that object stores cannot do atomically)."""
 
 from mini_search_engine_spark.streaming.ingest import (
     DEFAULT_MERGE_THRESHOLD,
     compact_segments,
+    folded_seg_ids,
     ingest_stream,
+    live_seg_ids,
     maybe_compact,
     num_segments,
     read_segmented_index,
@@ -11,14 +18,30 @@ from mini_search_engine_spark.streaming.ingest import (
     windowed_event_counts,
     write_segment,
 )
+from mini_search_engine_spark.streaming.snapshots import (
+    Snapshot,
+    commit_snapshot,
+    current_snapshot,
+    gc,
+    list_snapshot_ids,
+    read_snapshot,
+)
 
 __all__ = [
     "DEFAULT_MERGE_THRESHOLD",
+    "Snapshot",
+    "commit_snapshot",
     "compact_segments",
+    "current_snapshot",
+    "folded_seg_ids",
+    "gc",
     "ingest_stream",
+    "list_snapshot_ids",
+    "live_seg_ids",
     "maybe_compact",
     "num_segments",
     "read_segmented_index",
+    "read_snapshot",
     "streaming_exact_dedup",
     "windowed_event_counts",
     "write_segment",

@@ -19,29 +19,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import json
-
 from mini_search_engine_spark.corpus import load_corpus
 from mini_search_engine_spark.index.build import (
     DEFAULT_BLOCK_SPAN,
     InvertedIndex,
     build_index,
     _hadoop_fs,
-    _read_sidecar,
-    _write_sidecar,
 )
 from mini_search_engine_spark.index.merge import merge_segments
+from mini_search_engine_spark.streaming.snapshots import (
+    commit_snapshot,
+    current_snapshot,
+    gc as snapshot_gc,
+)
 
 # reference: InvertedIndexManager.java:52 — auto-merge all segments when
 # the segment count reaches this
 DEFAULT_MERGE_THRESHOLD = 8
 
-# name of the compacted segment and of the manifest recording which batch
-# segment ids were folded into it (replay-safety: a restarted stream that
-# replays an uncommitted micro-batch must not resurrect a segment whose
-# documents already live inside seg=compact)
-COMPACT_SEG = "compact"
-FOLDED_MANIFEST = "_folded.json"
+# compacted segments are named compact-<snapshot id> — IMMUTABLE unique
+# dirs, never renamed (see streaming/snapshots.py for the commit protocol)
+COMPACT_PREFIX = "compact-"
 
 
 def ingest_stream(
@@ -116,54 +114,71 @@ def ingest_stream(
 
 def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> bool:
     """Persist one index segment (postings + doclens + the segment's
-    (term, tid, df) dictionary sidecar — postings are tid-encoded).
+    (term, tid, df) dictionary sidecar — postings are tid-encoded), then
+    COMMIT it by writing the next snapshot file (data first, one atomic
+    metadata rename last — see streaming/snapshots.py).
 
-    Replay-safe: if ``seg_id`` is recorded in the compacted segment's
-    folded manifest, its documents already live inside ``seg=compact`` —
-    a replayed micro-batch (stream died after compaction but before the
-    batch committed) is a no-op. Returns True iff the segment was written.
-    """
+    Replay-safe: if ``seg_id`` is in the current snapshot's ``folded``
+    list its documents already live inside a compacted segment, and if it
+    is already a live segment the previous attempt's commit succeeded —
+    either way a replayed micro-batch is a no-op. Returns True iff the
+    segment was written and committed."""
     spark = idx.postings.sparkSession
-    if seg_id in folded_seg_ids(spark, index_path):
+    snap = current_snapshot(spark, index_path)
+    if snap is not None and (seg_id in snap.folded or seg_id in snap.segments):
         return False
+    # capture the pre-snapshot bootstrap listing BEFORE writing this
+    # segment's own data dirs, so the new seg=<id> is not double-counted
+    prev_segs = snap.segments if snap else _legacy_dir_list(spark, index_path)
     base = f"{index_path}/segments/seg={seg_id}"
     idx.postings.write.mode("overwrite").parquet(f"{base}/postings")
     idx.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
     idx.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    commit_snapshot(
+        spark,
+        index_path,
+        segments=[*prev_segs, seg_id],
+        folded=snap.folded if snap else (),
+    )
     return True
 
 
-def folded_seg_ids(spark: SparkSession, index_path: str) -> set[str]:
-    """Segment ids already folded into ``seg=compact`` by a past compaction
-    (read from the manifest the compaction wrote INSIDE the compacted
-    segment, so manifest and data swap in/out atomically together)."""
-    text = _read_sidecar(
-        spark, f"{index_path}/segments/seg={COMPACT_SEG}/{FOLDED_MANIFEST}"
-    )
-    return set(json.loads(text)["folded"]) if text else set()
-
-
-def live_seg_ids(spark: SparkSession, index_path: str) -> list[str]:
-    """Ids of on-disk segments that are part of the live index: every
-    ``seg=<id>`` directory except ones the folded manifest marks as already
-    merged into ``seg=compact`` (such a directory can only exist if a
-    replayed batch rewrote it before write_segment grew the manifest check
-    — its documents are duplicates of rows in the compacted segment)."""
+def _legacy_dir_list(spark: SparkSession, index_path: str) -> list[str]:
+    """Bootstrap for segment roots written before the snapshot protocol:
+    the directory listing IS the live set (no compaction manifest existed
+    without a snapshot either)."""
     fs, path = _hadoop_fs(spark, f"{index_path}/segments")
     if not fs.exists(path):
         return []
-    folded = folded_seg_ids(spark, index_path)
     return sorted(
         name[len("seg="):]
         for st in fs.listStatus(path)
         if st.isDirectory()
         and (name := st.getPath().getName()).startswith("seg=")
-        and name[len("seg="):] not in folded
     )
 
 
+def folded_seg_ids(spark: SparkSession, index_path: str) -> set[str]:
+    """Micro-batch segment ids already folded into a compacted segment
+    (from the current snapshot) — ids a replayed batch must not rewrite."""
+    snap = current_snapshot(spark, index_path)
+    return set(snap.folded) if snap else set()
+
+
+def live_seg_ids(spark: SparkSession, index_path: str) -> list[str]:
+    """Segment ids of the current snapshot — the ONLY dirs that are part
+    of the index. Uncommitted stragglers (a dir force-written around the
+    commit protocol, or data from a crashed compaction) are invisible by
+    construction. Falls back to the directory listing for pre-snapshot
+    segment roots."""
+    snap = current_snapshot(spark, index_path)
+    if snap is not None:
+        return sorted(snap.segments)
+    return _legacy_dir_list(spark, index_path)
+
+
 def num_segments(spark: SparkSession, index_path: str) -> int:
-    """Count committed live on-disk segments (folded stragglers excluded)."""
+    """Count committed live segments (snapshot-visible, not dir count)."""
     return len(live_seg_ids(spark, index_path))
 
 
@@ -174,31 +189,28 @@ def maybe_compact(
     analyzer: str = "porter",
     positional: bool = False,
     block_span: int = DEFAULT_BLOCK_SPAN,
+    retain_snapshots: int = 2,
 ) -> bool:
     """Reference LSM merge policy: when the number of committed segments
     reaches ``threshold``, merge ALL of them into one segment
     (``InvertedIndexManager.java:52,295-297`` — auto ``mergeAllSegments``
     at DEFAULT_MERGE_THRESHOLD=8). Returns True iff a compaction ran.
 
-    The merged segment set is written COMPLETE to a sibling root first,
-    then swapped in by directory rename and the old set deleted — the
-    Spark analog of the reference's rename-swap (``:413-431``), under the
-    same single-writer assumption its in-place pairwise merge makes.
+    Commit protocol (replaces the r3 directory rename-swap — see
+    streaming/snapshots.py for why renames don't survive object stores):
+    the merged segment is written to a NEW immutable dir
+    ``seg=compact-<id>``, then one snapshot file commits it as the sole
+    live segment, carrying every folded micro-batch id (old + this
+    round's) for replay-safety. Nothing is ever renamed or swapped; a
+    crash at any point leaves the previous snapshot current and at worst
+    an unreferenced data dir for ``snapshots.gc`` to sweep. Old segment
+    dirs and snapshot files beyond ``retain_snapshots`` are collected
+    after the commit (default keeps one previous snapshot so in-flight
+    readers of it still find their files).
+
     Globally-unique docids mean no rebase is needed; compaction is purely
-    read-amplification control (fewer (term, block) rows per key).
-
-    Replay-safety (checkpointed streams): the ids of every folded batch
-    segment — plus any ids an earlier compaction already folded — are
-    written to ``seg=compact/_folded.json`` INSIDE the compacted segment
-    before the swap. ``write_segment`` refuses to rewrite a folded id and
-    ``read_segmented_index`` skips folded straggler directories, so a
-    micro-batch replayed after an inline compaction cannot duplicate its
-    documents in both ``seg=compact`` and ``seg=<batch_id>``.
-
-    Every rename is checked: a failed rename aborts the swap with the OLD
-    segment set still live (and restores it if the first rename already
-    moved it aside); the trash copy is deleted only after the new live
-    directory verifiably exists."""
+    read-amplification control (fewer (term, block) rows per key)."""
+    snap = current_snapshot(spark, index_path)
     seg_ids = live_seg_ids(spark, index_path)
     if len(seg_ids) < max(threshold, 2):
         return False
@@ -211,40 +223,19 @@ def maybe_compact(
             block_span=block_span,
         )
     )
-    tmp_root = f"{index_path}/segments_compacting"
-    fs, tmp = _hadoop_fs(spark, tmp_root)
-    fs.delete(tmp, True)  # stale aborted attempt must not nest under new writes
-    base = f"{tmp_root}/seg={COMPACT_SEG}"
+    next_id = (snap.snapshot_id + 1) if snap else 0
+    new_seg = f"{COMPACT_PREFIX}{next_id}"
+    base = f"{index_path}/segments/seg={new_seg}"
     merged.postings.write.mode("overwrite").parquet(f"{base}/postings")
     merged.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
     merged.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
-    # manifest travels inside the compacted segment: swap-in is atomic with
-    # the data, and a crashed swap leaves no manifest pointing at live data
-    folded = sorted(
-        (set(seg_ids) - {COMPACT_SEG}) | folded_seg_ids(spark, index_path)
+    # batch ids folded THIS round = every live non-compact segment; compact
+    # segments are not batch ids (no stream ever replays them)
+    folded = {s for s in seg_ids if not s.startswith(COMPACT_PREFIX)} | (
+        set(snap.folded) if snap else set()
     )
-    _write_sidecar(
-        spark, f"{base}/{FOLDED_MANIFEST}", json.dumps({"folded": folded}), "overwrite"
-    )
-
-    _, live = _hadoop_fs(spark, f"{index_path}/segments")
-    _, trash = _hadoop_fs(spark, f"{index_path}/segments_old")
-    fs.delete(trash, True)
-    if not fs.rename(live, trash):
-        # abort: old set untouched and still live; drop the staged output
-        fs.delete(tmp, True)
-        raise IOError(f"compaction aborted: rename {live} -> {trash} failed")
-    if not fs.rename(tmp, live):
-        # restore the old set so the index stays queryable, then abort
-        restored = fs.rename(trash, live)
-        fs.delete(tmp, True)
-        raise IOError(
-            f"compaction aborted: rename {tmp} -> {live} failed"
-            + ("" if restored else f"; RESTORE ALSO FAILED, data in {trash}")
-        )
-    if not fs.exists(live):
-        raise IOError(f"compaction swap left no live segments dir at {live}")
-    fs.delete(trash, True)
+    commit_snapshot(spark, index_path, segments=[new_seg], folded=folded)
+    snapshot_gc(spark, index_path, retain_snapshots=retain_snapshots)
     return True
 
 

@@ -128,9 +128,10 @@ def test_auto_compact_threshold_policy(spark, tmp_path):
 def test_compaction_replay_safety(spark, tmp_path):
     """A micro-batch replayed AFTER a compaction folded its segment must
     not duplicate its documents (stream died between maybe_compact and the
-    batch commit): write_segment refuses ids in the seg=compact folded
-    manifest, and the read path skips a straggler dir even if one was
-    force-written. Successive compactions union their manifests."""
+    batch commit): write_segment refuses ids in the current snapshot's
+    folded list, and the read path sees ONLY snapshot-committed segments —
+    a straggler dir force-written around the protocol is invisible.
+    Successive compactions union their folded lists."""
     from mini_search_engine_spark.streaming.ingest import folded_seg_ids, live_seg_ids
 
     idxp = str(tmp_path / "replay_idx")
@@ -157,7 +158,8 @@ def test_compaction_replay_safety(spark, tmp_path):
     segs[1].postings.write.mode("overwrite").parquet(f"{base}/postings")
     segs[1].doclens.write.mode("overwrite").parquet(f"{base}/doclens")
     segs[1].termstats.write.mode("overwrite").parquet(f"{base}/termstats")
-    assert live_seg_ids(spark, idxp) == ["compact"]
+    (live_one,) = live_seg_ids(spark, idxp)
+    assert live_one.startswith("compact-")
     assert num_segments(spark, idxp) == 1
     idx2 = read_segmented_index(spark, idxp, block_span=8)
     assert idx2.n_docs == 30 and idx2.doclens.count() == 30
@@ -272,3 +274,62 @@ def test_streaming_exact_dedup_stateful(spark, tmp_path):
 
     kept = sorted(r["docid"] for r in spark.read.parquet(outp).collect())
     assert kept == list(range(10)) + list(range(15, 20))
+
+
+def test_snapshot_commit_protocol(spark, tmp_path):
+    """streaming/snapshots.py: a segment data dir is INVISIBLE until the
+    atomic snapshot-file commit references it (crash between data write
+    and commit leaves the previous snapshot current); a torn snapshot
+    file (no terminator / invalid JSON) is skipped; gc sweeps
+    unreferenced dirs while retaining the files of the newest snapshots;
+    parent ids record lineage."""
+    from mini_search_engine_spark.streaming import (
+        current_snapshot,
+        gc,
+        list_snapshot_ids,
+        read_snapshot,
+    )
+    from mini_search_engine_spark.streaming.ingest import live_seg_ids
+
+    idxp = str(tmp_path / "snap_idx")
+    segs = []
+    for s in range(2):
+        seg = build_index(
+            load_corpus(spark.createDataFrame(_rows(10 * s, 10 * s + 10), SCHEMA)),
+            analyzer="porter",
+            block_span=8,
+        )
+        assert write_segment(seg, idxp, str(s)) is True
+        segs.append(seg)
+    snap = current_snapshot(spark, idxp)
+    assert snap.snapshot_id == 1 and snap.parent == 0
+    assert snap.segments == ["0", "1"]
+
+    # crashed writer: data dir written, commit never happened → invisible
+    orphan = build_index(
+        load_corpus(spark.createDataFrame(_rows(20, 30), SCHEMA)),
+        analyzer="porter",
+        block_span=8,
+    )
+    base = f"{idxp}/segments/seg=99"
+    orphan.postings.write.mode("overwrite").parquet(f"{base}/postings")
+    orphan.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
+    orphan.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    segs.append(orphan)
+    assert live_seg_ids(spark, idxp) == ["0", "1"]
+    assert read_segmented_index(spark, idxp, block_span=8).n_docs == 20
+
+    # torn snapshot (truncated write, never renamed complete) is skipped
+    with open(f"{idxp}/segments_meta/snap-7.json", "w") as f:
+        f.write('{"snapshot_id": 7, "segments": ["99"]')  # invalid JSON
+    assert 7 in list_snapshot_ids(spark, idxp)
+    assert current_snapshot(spark, idxp).snapshot_id == 1
+    assert read_snapshot(spark, idxp, 7) is None
+
+    # gc: unreferenced data dir swept, newest snapshots' files retained
+    deleted = gc(spark, idxp, retain_snapshots=2)
+    assert "seg=99" in deleted
+    assert read_segmented_index(spark, idxp, block_span=8).n_docs == 20
+    assert current_snapshot(spark, idxp).snapshot_id == 1
+    for s in segs:
+        s.unpersist()
