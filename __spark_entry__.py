@@ -32,8 +32,11 @@ from mini_search_engine_spark.ops import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    pii_redact,
     quality_scores,
+    repetition_scores,
     simhash,
+    stratified_hash_sample,
     token_counts,
 )
 from mini_search_engine_spark.search import (
@@ -355,6 +358,55 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII (email + phone + IPv4 derived from docid)
+    to every document's content — the corpus itself is digit-free, so
+    without this the redaction oracle would trivially hash-match on
+    unchanged text. Both sides (Spark here, DuckDB in oracle_sql) build
+    the identical string, so the redactor is exercised on real matches."""
+    return docs.withColumn(
+        "content",
+        F.concat(
+            F.col("content"),
+            F.lit(" mail user"),
+            F.col("docid").cast("string"),
+            F.lit("@ex-ample.co call 415-555-"),
+            F.lpad((F.col("docid") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("docid") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    out = pii_redact(_with_synthetic_pii(load_documents(spark, sf_dir)))
+    return out.select(
+        "docid",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("docid")
+
+
+def q_repetition(spark, sf_dir):
+    out = repetition_scores(load_documents(spark, sf_dir))
+    return out.withColumn("keep", F.col("keep").cast("int")).orderBy("docid")
+
+
+STRAT_RATES = {"de": 0.2, "en": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.35}
+
+
+def q_strat_sample(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return (
+        stratified_hash_sample(docs, STRAT_RATES, salt="mix-v1")
+        .select("docid", "lang")
+        .orderBy("docid")
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -434,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
+        "repetition_scores": q_repetition,
+        "stratified_sample": q_strat_sample,
         "events_window": q_events_window,
         "window_rank": q_window_rank,
         "relational_agg": q_relational_agg,
@@ -759,6 +814,80 @@ SELECT doc_id AS docid,
        list_min([{_hash60("substring(text, i, 5)")}
                  for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS fingerprint
 FROM documents"""
+
+    # PII redaction — identical synthetic PII suffix built on both sides
+    # (see _with_synthetic_pii); patterns injected verbatim from
+    # ops/pipeline.py constants (Java-regex == RE2 for these). No f-string
+    # here: the patterns contain {m,n} quantifiers.
+    from mini_search_engine_spark.ops.pipeline import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    _pii_synth = (
+        "synth AS (\n"
+        "  SELECT doc_id,\n"
+        "         text || ' mail user' || doc_id::VARCHAR || '@ex-ample.co call 415-555-'\n"
+        "              || lpad((doc_id % 10000)::VARCHAR, 4, '0')\n"
+        "              || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t\n"
+        "  FROM documents\n"
+        ")"
+    )
+    sqls["pii_redact"] = (
+        "WITH " + _pii_synth + "\n"
+        "SELECT doc_id AS docid,\n"
+        "       len(regexp_extract_all(t, '" + EMAIL_PATTERN + "'))::BIGINT AS n_emails,\n"
+        "       len(regexp_extract_all(t, '" + PHONE_PATTERN + "'))::BIGINT AS n_phones,\n"
+        "       len(regexp_extract_all(t, '" + IPV4_PATTERN + "'))::BIGINT AS n_ips,\n"
+        "       md5(regexp_replace(regexp_replace(regexp_replace(t,\n"
+        "           '" + EMAIL_PATTERN + "', '<EMAIL>', 'g'),\n"
+        "           '" + PHONE_PATTERN + "', '<PHONE>', 'g'),\n"
+        "           '" + IPV4_PATTERN + "', '<IP>', 'g')) AS redacted_md5\n"
+        "FROM synth ORDER BY docid"
+    )
+
+    # Gopher-style repetition signals; `keep` thresholds applied on the
+    # UNROUNDED fractions, exactly as ops/pipeline.repetition_scores does
+    sqls["repetition_scores"] = f"""WITH {_WS},
+tokx AS (SELECT doc_id, unnest(toks) AS tok FROM wtl),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tokx GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc FROM cnt GROUP BY doc_id),
+big AS (
+  SELECT doc_id, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs
+  FROM wtl WHERE len(toks) >= 2
+),
+bigx AS (SELECT doc_id, unnest(bgs) AS bg FROM big),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bigx GROUP BY doc_id, bg),
+bagg AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bcnt GROUP BY doc_id),
+fr AS (
+  SELECT d.doc_id,
+         coalesce(a.n, 0) AS n,
+         CASE WHEN coalesce(a.n, 0) > 0 THEN (a.n - a.nd)::DOUBLE / a.n ELSE 0.0 END AS dupf,
+         CASE WHEN coalesce(a.n, 0) > 0 THEN a.topc::DOUBLE / a.n ELSE 0.0 END AS topt,
+         CASE WHEN coalesce(b.nb, 0) > 0 THEN b.topb::DOUBLE / b.nb ELSE 0.0 END AS topb
+  FROM documents d
+  LEFT JOIN agg a ON a.doc_id = d.doc_id
+  LEFT JOIN bagg b ON b.doc_id = d.doc_id
+)
+SELECT doc_id AS docid, n::BIGINT AS n_tokens,
+       round(dupf, 6) AS dup_token_frac,
+       round(topt, 6) AS top_token_frac,
+       round(topb, 6) AS top_bigram_frac,
+       (dupf <= 0.75 AND topt <= 0.30 AND topb <= 0.18)::INTEGER AS keep
+FROM fr ORDER BY docid"""
+
+    # deterministic stratified sample — same 60-bit md5-prefix hash,
+    # same per-lang thresholds as STRAT_RATES / salt "mix-v1"
+    _strat_thresh = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(STRAT_RATES.items())
+    ) + " ELSE 0 END"
+    sqls["stratified_sample"] = f"""
+SELECT doc_id AS docid, lang
+FROM documents
+WHERE {_hash60("'mix-v1|' || doc_id::VARCHAR")} % 1000000 < {_strat_thresh}
+ORDER BY docid"""
 
     sqls["events_window"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -22,6 +22,12 @@ from mini_search_engine_spark.ops.ann import (
     read_ivf_index,
     write_ivf_index,
 )
+from mini_search_engine_spark.ops.pipeline import (
+    hash_sample,
+    pii_redact,
+    repetition_scores,
+    stratified_hash_sample,
+)
 from mini_search_engine_spark.ops.textstats import (
     language_id,
     quality_scores,
@@ -46,6 +52,10 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "hash_sample",
+    "pii_redact",
+    "repetition_scores",
+    "stratified_hash_sample",
     "language_id",
     "quality_scores",
     "token_counts",

@@ -1,0 +1,147 @@
+"""Unit tests for ops/pipeline.py — PII redaction, Gopher-style repetition
+signals, deterministic hash sampling. Each checks the Catalyst expression
+against a plain-Python reference on small hand-built rows."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from mini_search_engine_spark.ops import (
+    hash_sample,
+    pii_redact,
+    repetition_scores,
+    stratified_hash_sample,
+)
+from mini_search_engine_spark.ops.pipeline import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "contact bob.smith+tag@example.co.uk or call 415-555-0199 now"),
+        (1, "server at 10.0.42.7 and backup 192.168.1.254 replied"),
+        (2, "no pii here, just plain text about spark"),
+        (3, "a@b.io x@y.z 555-123-4567 555.987.6543 1.2.3.4"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "docid long, content string")
+
+
+def test_pii_redact_counts_and_text(pii_docs):
+    out = {r["docid"]: r for r in pii_redact(pii_docs).collect()}
+    for r in pii_docs.collect():
+        text = r["content"]
+        exp_emails = len(re.findall(EMAIL_PATTERN, text))
+        got = out[r["docid"]]
+        assert got["n_emails"] == exp_emails
+        assert got["n_phones"] == len(re.findall(PHONE_PATTERN, text))
+        assert got["n_ips"] == len(re.findall(IPV4_PATTERN, text))
+        red = re.sub(EMAIL_PATTERN, "<EMAIL>", text)
+        red = re.sub(PHONE_PATTERN, "<PHONE>", red)
+        red = re.sub(IPV4_PATTERN, "<IP>", red)
+        assert got["redacted"] == red
+    # spot-check semantics, not just parity
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert out[1]["n_ips"] == 2
+    assert "<EMAIL>" in out[0]["redacted"] and "415-555" not in out[0]["redacted"]
+    assert out[2]["redacted"] == "no pii here, just plain text about spark"
+    # "x@y.z" has a 1-char TLD — must NOT match ([A-Za-z][A-Za-z]+ needs 2+)
+    assert out[3]["n_emails"] == 1
+
+
+def _py_repetition(text):
+    toks = [t for t in text.lower().split() if t]
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    c = Counter(toks)
+    dup = (n - len(c)) / n
+    top = max(c.values()) / n
+    bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    topb = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+    return n, dup, top, topb
+
+
+def test_repetition_scores_vs_python(spark):
+    rows = [
+        (0, "spam spam spam spam eggs"),
+        (1, "all tokens here are fully distinct words"),
+        (2, "ab cd ab cd ab cd ab cd"),  # dominant bigram runs
+        (3, "one"),
+        (4, ""),
+        (5, "Mixed CASE mixed case MIXED case"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    out = {r["docid"]: r for r in repetition_scores(docs).collect()}
+    for docid, text in rows:
+        n, dup, top, topb = _py_repetition(text)
+        got = out[docid]
+        assert got["n_tokens"] == n
+        assert got["dup_token_frac"] == pytest.approx(dup, abs=1e-6)
+        assert got["top_token_frac"] == pytest.approx(top, abs=1e-6)
+        assert got["top_bigram_frac"] == pytest.approx(topb, abs=1e-6)
+        assert got["keep"] == (dup <= 0.75 and top <= 0.30 and topb <= 0.18)
+    assert not out[0]["keep"]  # spam-dominated
+    assert out[1]["keep"]
+    assert not out[2]["keep"]  # "ab cd" bigram frac 4/7 > 0.18
+
+
+def _py_hash_bucket(salt, docid):
+    h = hashlib.md5(f"{salt}|{docid}".encode()).hexdigest()
+    return int(h[:15], 16) % 1_000_000
+
+
+def test_hash_sample_deterministic(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(2000)], "docid long, content string")
+    kept = sorted(r["docid"] for r in hash_sample(docs, 0.3, salt="s1").collect())
+    # exactly the python-reference selection, twice (determinism)
+    exp = sorted(i for i in range(2000) if _py_hash_bucket("s1", i) < 300_000)
+    assert kept == exp
+    assert kept == sorted(r["docid"] for r in hash_sample(docs, 0.3, salt="s1").collect())
+    # rate lands near 30%, and a different salt draws a different sample
+    assert 0.25 < len(kept) / 2000 < 0.35
+    kept2 = sorted(r["docid"] for r in hash_sample(docs, 0.3, salt="s2").collect())
+    assert kept2 != kept
+    # nested property: a higher-rate sample is a superset of a lower-rate one
+    kept_half = set(r["docid"] for r in hash_sample(docs, 0.5, salt="s1").collect())
+    assert set(kept) <= kept_half
+
+
+def test_stratified_hash_sample(spark):
+    rows = [(i, "x", ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "docid long, content string, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    out = stratified_hash_sample(docs, rates, salt="mix")
+    got = sorted((r["docid"], r["lang"]) for r in out.collect())
+    exp = sorted(
+        (i, lang)
+        for i, _, lang in rows
+        if _py_hash_bucket("mix", i) < int(rates.get(lang, 0.0) * 1_000_000)
+    )
+    assert got == exp
+    by_lang = Counter(lang for _, lang in got)
+    assert by_lang["fr"] == 0  # default rate 0
+    assert 0.35 < by_lang["en"] / 1000 < 0.65
+    assert by_lang["de"] / 1000 < 0.2
+
+
+def test_pipeline_ops_no_shuffle(spark):
+    """All three pipeline ops are per-row maps — their physical plans must
+    contain no Exchange (they fuse into the scan at scale)."""
+    docs = spark.createDataFrame([(0, "a b c", "en")], "docid long, content string, lang string")
+    for df in (
+        pii_redact(docs),
+        repetition_scores(docs),
+        hash_sample(docs, 0.5),
+        stratified_hash_sample(docs, {"en": 0.5}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
