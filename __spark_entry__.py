@@ -168,6 +168,20 @@ def q_bm25_fused_cold(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+def q_doc_deletes_bm25(spark, sf_dir):
+    """Doc-level merge-on-read deletes (index/deletes.py — the Iceberg
+    equality-delete analog the reference lacks): tombstone every docid ≡ 3
+    (mod 7) WITHOUT rewriting the index, then BM25 over the merged view.
+    The oracle builds from scratch on the survivors — so df, n_docs, avgdl
+    and every per-block array must all shift exactly."""
+    from mini_search_engine_spark.index.deletes import apply_deletes
+
+    idx = _index(spark, sf_dir)
+    tomb = load_documents(spark, sf_dir).select("docid").filter(F.col("docid") % 7 == 3)
+    raw = bm25_topk(apply_deletes(idx, tomb), ["spark", "merge"], topk=50)
+    return _round_score(raw, k=10)
+
+
 def q_bm25_pruned(spark, sf_dir):
     raw = bm25_topk(
         _index(spark, sf_dir), ["filter", "join", "scan"], topk=50, prune=True
@@ -468,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
+        "doc_deletes_bm25": q_doc_deletes_bm25,
         "term_df": q_term_df,
         "doclens": q_doclens,
         "postings_blocks": q_postings_blocks,
@@ -581,9 +596,9 @@ s AS (SELECT doc_id, sum(tfidf * qw) AS dot, sum(tfidf * tfidf) AS len2
       FROM contrib GROUP BY doc_id)"""
 
 
-def _bm25_sql(terms: list[str], k: int = 10) -> str:
+def _bm25_sql(terms: list[str], k: int = 10, doc_where: str | None = None) -> str:
     vals = ", ".join(f"('{t}', 1.0)" for t in terms)
-    return f"""WITH {_TOK},
+    sql = f"""WITH {_TOK},
 tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
@@ -601,6 +616,11 @@ contrib AS (
 s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT {k}"""
+    if doc_where:
+        # restrict the corpus everywhere it is scanned (the tokenize CTE and
+        # the global doc count) — models a post-delete from-scratch build
+        sql = sql.replace("FROM documents", f"FROM documents WHERE {doc_where}")
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -640,6 +660,7 @@ FROM s ORDER BY round(dot / sqrt(len2), 6) DESC, docid LIMIT 10"""
     sqls["bm25_topk"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
+    sqls["doc_deletes_bm25"] = _bm25_sql(["spark", "merge"], doc_where="doc_id % 7 <> 3")
 
     sqls["term_df"] = f"""WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term"""

@@ -49,7 +49,7 @@ DEFAULT_BLOCK_SPAN = 1 << 16  # docids per block
 class InvertedIndex:
     """Handle to the built index DataFrames + collection statistics."""
 
-    postings: DataFrame  # tid, block, n, docids, tfs[, positions], min_docid, max_docid, max_tf
+    postings: DataFrame  # tid, block, n, docids, tfs, dls[, positions], min_docid, max_docid, max_tf, min_dl
     doclens: DataFrame  # docid, dl
     termstats: DataFrame  # term, tid, df — the term dictionary sidecar
     n_docs: int

@@ -8,6 +8,7 @@ that object stores cannot do atomically)."""
 from mini_search_engine_spark.streaming.ingest import (
     DEFAULT_MERGE_THRESHOLD,
     compact_segments,
+    delete_docs,
     folded_seg_ids,
     ingest_stream,
     live_seg_ids,
@@ -33,6 +34,7 @@ __all__ = [
     "commit_snapshot",
     "compact_segments",
     "current_snapshot",
+    "delete_docs",
     "folded_seg_ids",
     "gc",
     "ingest_stream",

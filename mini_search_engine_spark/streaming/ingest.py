@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import time
+
 from mini_search_engine_spark.corpus import load_corpus
 from mini_search_engine_spark.index.build import (
     DEFAULT_BLOCK_SPAN,
@@ -26,11 +28,14 @@ from mini_search_engine_spark.index.build import (
     build_index,
     _hadoop_fs,
 )
+from mini_search_engine_spark.index.deletes import apply_deletes
 from mini_search_engine_spark.index.merge import merge_segments
 from mini_search_engine_spark.streaming.snapshots import (
+    Snapshot,
     commit_snapshot,
     current_snapshot,
     gc as snapshot_gc,
+    read_snapshot,
 )
 
 # reference: InvertedIndexManager.java:52 — auto-merge all segments when
@@ -139,6 +144,7 @@ def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> bool:
         index_path,
         segments=[*prev_segs, seg_id],
         folded=snap.folded if snap else (),
+        deletes=snap.deletes if snap else (),
     )
     return True
 
@@ -209,7 +215,10 @@ def maybe_compact(
     readers of it still find their files).
 
     Globally-unique docids mean no rebase is needed; compaction is purely
-    read-amplification control (fewer (term, block) rows per key)."""
+    read-amplification control (fewer (term, block) rows per key) — plus
+    physical purge of doc tombstones: the view it merges already has
+    merge-on-read deletes applied, so the committed snapshot carries an
+    empty ``deletes`` list and the delete files age out via ``gc``."""
     snap = current_snapshot(spark, index_path)
     seg_ids = live_seg_ids(spark, index_path)
     if len(seg_ids) < max(threshold, 2):
@@ -245,13 +254,36 @@ def read_segmented_index(
     analyzer: str = "porter",
     positional: bool = False,
     block_span: int = DEFAULT_BLOCK_SPAN,
+    snapshot_id: int | None = None,
+    apply_tombstones: bool = True,
 ) -> InvertedIndex:
     """Assemble a queryable index over all committed LIVE segments.
 
     Segment dirs are enumerated explicitly (not a ``seg=*`` glob) so a
     folded straggler — a batch segment a replayed stream rewrote after its
-    documents were compacted into ``seg=compact`` — is never read twice."""
-    segs = live_seg_ids(spark, index_path)
+    documents were compacted into ``seg=compact`` — is never read twice.
+
+    ``snapshot_id`` time-travels: the returned index is the exact state
+    that snapshot committed — its segment list AND its tombstone set
+    (within ``gc``'s retention window, like Iceberg's ``VERSION AS OF``).
+    ``apply_tombstones=False`` skips merge-on-read delete filtering (used
+    by audits that must see tombstoned postings)."""
+    del_files: list[str] = []
+    if snapshot_id is not None:
+        snap = read_snapshot(spark, index_path, snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not found/committed under {index_path}"
+            )
+        segs = sorted(snap.segments)
+        del_files = snap.deletes
+    else:
+        snap = current_snapshot(spark, index_path)
+        if snap is not None:
+            segs = sorted(snap.segments)
+            del_files = snap.deletes
+        else:
+            segs = _legacy_dir_list(spark, index_path)
     if not segs:
         raise FileNotFoundError(f"no live segments under {index_path}/segments")
     seg_bases = [f"{index_path}/segments/seg={s}" for s in segs]
@@ -266,7 +298,7 @@ def read_segmented_index(
         .select("term", "tid", "df")
     )
     stats = doclens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    return InvertedIndex(
+    idx = InvertedIndex(
         postings=postings,
         doclens=doclens,
         termstats=termstats,
@@ -276,6 +308,44 @@ def read_segmented_index(
         block_span=block_span,
         positional=positional,
         compressed=False,
+    )
+    if apply_tombstones and del_files:
+        tomb = spark.read.parquet(*[f"{index_path}/deletes/{f}" for f in del_files])
+        idx = apply_deletes(idx, tomb)
+    return idx
+
+
+def delete_docs(spark: SparkSession, index_path: str, docids) -> Snapshot:
+    """Doc-level delete (takedown/opt-out/dedup verdict) WITHOUT rewriting
+    any segment: persist the tombstone set as a delete file and commit a
+    snapshot referencing it — the Iceberg equality-delete commit. Readers
+    of the new snapshot see the docs gone (merge-on-read,
+    index/deletes.py); readers planned against the previous snapshot are
+    undisturbed; the next compaction purges the postings physically and
+    drops the delete files from the snapshot.
+
+    ``docids``: a DataFrame with a ``docid`` column, or an iterable of
+    ints. Returns the committed Snapshot."""
+    snap = current_snapshot(spark, index_path)
+    if snap is None:
+        raise FileNotFoundError(
+            f"delete_docs requires a snapshot-committed index at {index_path}"
+        )
+    if isinstance(docids, DataFrame):
+        tomb = docids.select(F.col("docid").cast("long").alias("docid")).distinct()
+    else:
+        tomb = spark.createDataFrame([(int(d),) for d in docids], "docid long").distinct()
+    # unique immutable file name: never renamed, never rewritten (the
+    # snapshot id it was staged for may lose a commit race; the app-id +
+    # nanotime suffix keeps racing writers apart)
+    name = f"del-{snap.snapshot_id + 1}-{spark.sparkContext.applicationId}-{time.monotonic_ns()}"
+    tomb.write.mode("error").parquet(f"{index_path}/deletes/{name}")
+    return commit_snapshot(
+        spark,
+        index_path,
+        segments=snap.segments,
+        folded=snap.folded,
+        deletes=[*snap.deletes, name],
     )
 
 

@@ -57,6 +57,10 @@ class Snapshot:
     segments: list[str]
     folded: list[str] = field(default_factory=list)
     parent: int | None = None
+    # doc-tombstone file names under <index>/deletes/, applied merge-on-read
+    # by read_segmented_index and physically purged at compaction — the
+    # Iceberg equality-delete-file analog (see index/deletes.py)
+    deletes: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -66,6 +70,7 @@ class Snapshot:
                 # duplicate name would double-count its documents
                 "segments": sorted(set(self.segments)),
                 "folded": sorted(set(self.folded)),
+                "deletes": sorted(set(self.deletes)),
                 "parent": self.parent,
                 # terminator: a truncated partial write parses as invalid
                 # JSON or lacks this field and is skipped by readers
@@ -107,6 +112,7 @@ def read_snapshot(spark: SparkSession, index_path: str, snapshot_id: int) -> Sna
         segments=list(d["segments"]),
         folded=list(d.get("folded", [])),
         parent=d.get("parent"),
+        deletes=list(d.get("deletes", [])),
     )
 
 
@@ -124,6 +130,7 @@ def commit_snapshot(
     index_path: str,
     segments: list[str],
     folded: list[str] | set[str] = (),
+    deletes: list[str] | set[str] = (),
 ) -> Snapshot:
     """Atomically commit the next snapshot; returns the committed Snapshot.
 
@@ -142,6 +149,7 @@ def commit_snapshot(
             segments=list(segments),
             folded=sorted(set(folded)),
             parent=parent.snapshot_id if parent else None,
+            deletes=sorted(set(deletes)),
         )
         tmp_name = f"{_meta_path(index_path)}/.snap-{snap.snapshot_id}.json.tmp"
         _, tmp = _hadoop_fs(spark, tmp_name)
@@ -176,10 +184,12 @@ def gc(
         return []
     keep_ids = ids[-max(1, retain_snapshots):]
     referenced: set[str] = set()
+    live_deletes: set[str] = set()
     for sid in keep_ids:
         snap = read_snapshot(spark, index_path, sid)
         if snap:
             referenced.update(snap.segments)
+            live_deletes.update(snap.deletes)
     deleted: list[str] = []
     fs, segroot = _hadoop_fs(spark, f"{index_path}/segments")
     if fs.exists(segroot):
@@ -188,6 +198,15 @@ def gc(
             if st.isDirectory() and name.startswith("seg=") and name[len("seg="):] not in referenced:
                 fs.delete(st.getPath(), True)
                 deleted.append(name)
+    # tombstone files no retained snapshot references (compaction physically
+    # purged them, or their snapshot expired) are garbage like segment dirs
+    _, delroot = _hadoop_fs(spark, f"{index_path}/deletes")
+    if fs.exists(delroot):
+        for st in fs.listStatus(delroot):
+            name = st.getPath().getName()
+            if name not in live_deletes:
+                fs.delete(st.getPath(), True)
+                deleted.append(f"deletes/{name}")
     for sid in ids[: -max(1, retain_snapshots)]:
         _, p = _hadoop_fs(spark, f"{_meta_path(index_path)}/snap-{sid}.json")
         fs.delete(p, False)
