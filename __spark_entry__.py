@@ -138,6 +138,31 @@ def q_near(spark, sf_dir):
     return search_near(_index(spark, sf_dir, positional=True), ["spark", "merge"], slop=3)
 
 
+def q_prefix_search(spark, sf_dir):
+    """Dictionary-expansion query (search/expand.py): docs containing any
+    indexed term starting with 'par' (partition, parquet, page, …). The
+    expansion runs on the O(vocab) termstats sidecar; the expanded tid set
+    prunes the postings scan like a multi-term OR."""
+    from mini_search_engine_spark.search import search_prefix
+
+    return search_prefix(_index(spark, sf_dir), "par")
+
+
+def q_wildcard_search(spark, sf_dir):
+    from mini_search_engine_spark.search import search_wildcard
+
+    return search_wildcard(_index(spark, sf_dir), "s?ar*")
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Edit-distance-1 match of 'spank' (not itself in the vocabulary)
+    against the term dictionary — JVM-side length prefilter + thresholded
+    levenshtein — then OR over the matching terms' postings."""
+    from mini_search_engine_spark.search import search_fuzzy
+
+    return search_fuzzy(_index(spark, sf_dir), "spank", max_edits=1)
+
+
 def q_tfidf(spark, sf_dir):
     return _round_score(
         search_tfidf(_index(spark, sf_dir), ["spark", "merge"], topk=None), k=10
@@ -478,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "near_search": q_near,
+        "prefix_search": q_prefix_search,
+        "wildcard_search": q_wildcard_search,
+        "fuzzy_search": q_fuzzy_search,
         "tfidf_topk": q_tfidf,
         "bm25_topk": q_bm25,
         "bm25_topk_fused_cold": q_bm25_fused_cold,
@@ -652,6 +680,16 @@ p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos F
 SELECT DISTINCT a.doc_id AS docid
 FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
 WHERE a.term = 'spark' AND b.term = 'merge' ORDER BY docid"""
+
+    sqls["prefix_search"] = f"""WITH {_TOK}
+SELECT DISTINCT doc_id AS docid FROM tok WHERE term LIKE 'par%' ORDER BY docid"""
+
+    # glob s?ar* == SQL LIKE 's_ar%'
+    sqls["wildcard_search"] = f"""WITH {_TOK}
+SELECT DISTINCT doc_id AS docid FROM tok WHERE term LIKE 's_ar%' ORDER BY docid"""
+
+    sqls["fuzzy_search"] = f"""WITH {_TOK}
+SELECT DISTINCT doc_id AS docid FROM tok WHERE levenshtein(term, 'spank') <= 1 ORDER BY docid"""
 
     sqls["tfidf_topk"] = f"""WITH {_TFIDF_CORE}
 SELECT doc_id AS docid, round(dot / sqrt(len2), 6) AS score

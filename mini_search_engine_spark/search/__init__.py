@@ -12,6 +12,12 @@ from mini_search_engine_spark.search.ranking import (
     search_tfidf,
     bm25_topk,
 )
+from mini_search_engine_spark.search.expand import (
+    search_fuzzy,
+    search_prefix,
+    search_wildcard,
+    vocab_matches,
+)
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.pagerank import pagerank, combined_search
 
@@ -22,6 +28,10 @@ __all__ = [
     "search_or",
     "search_near",
     "search_phrase",
+    "search_prefix",
+    "search_wildcard",
+    "search_fuzzy",
+    "vocab_matches",
     "search_tfidf",
     "bm25_topk",
     "full_scan_search",
