@@ -397,6 +397,17 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (ops/chunk.py) — the pre-training
+    split step. Pure narrow Catalyst: split, sequence-of-starts, explode,
+    slice; no shuffle, no Python."""
+    from mini_search_engine_spark.ops import chunk_documents
+
+    return chunk_documents(
+        load_documents(spark, sf_dir), chunk_size=16, overlap=4, text_col="content"
+    )
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -529,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "repetition_scores": q_repetition,
         "stratified_sample": q_strat_sample,
@@ -893,6 +905,22 @@ FROM documents"""
         "  FROM documents\n"
         ")"
     )
+    # chunk_size=16, overlap=4, step=12; DuckDB list slice [a:b] is 1-based
+    # inclusive, range() stop is exclusive — both match the Spark
+    # sequence/slice semantics exactly
+    sqls["doc_chunks"] = r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(n - 4, 1), 12)) AS start FROM nz)
+SELECT doc_id AS docid,
+       (start // 12)::BIGINT AS chunk_id,
+       len(toks[start + 1 : start + 16])::BIGINT AS n_tokens,
+       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk
+FROM s ORDER BY docid, chunk_id"""
+
     sqls["pii_redact"] = (
         "WITH " + _pii_synth + "\n"
         "SELECT doc_id AS docid,\n"

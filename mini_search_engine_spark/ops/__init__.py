@@ -22,6 +22,10 @@ from mini_search_engine_spark.ops.ann import (
     read_ivf_index,
     write_ivf_index,
 )
+from mini_search_engine_spark.ops.chunk import (
+    chunk_documents,
+    pack_sequences,
+)
 from mini_search_engine_spark.ops.pipeline import (
     hash_sample,
     pii_redact,
@@ -52,6 +56,8 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "chunk_documents",
+    "pack_sequences",
     "hash_sample",
     "pii_redact",
     "repetition_scores",
