@@ -284,6 +284,18 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(load_documents(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH candidate pairs
+    (ops/cluster.py min-label propagation): every document mapped to its
+    near-dup cluster id (= min docid in the component; singletons keep
+    their own docid). The DuckDB oracle recomputes components with a
+    recursive reachability CTE — the iterative Spark loop must land on
+    the identical fixed point."""
+    from mini_search_engine_spark.ops import dedup_clusters
+
+    return dedup_clusters(load_documents(spark, sf_dir)).orderBy("docid")
+
+
 def q_simhash(spark, sf_dir):
     return simhash(load_documents(spark, sf_dir))
 
@@ -530,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -757,6 +770,29 @@ FROM documents GROUP BY sha256(text)"""
     )
 
     sqls["minhash_pairs"] = "WITH " + _PAIRS + "\nSELECT docid_a, docid_b FROM pairs"
+
+    # min-docid-reachable per node via recursive CTE == the fixed point of
+    # the engine's min-label propagation; singletons fall back to their own
+    # docid through the left join
+    sqls["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _PAIRS
+        + """,
+edges AS (
+  SELECT docid_a AS src, docid_b AS dst FROM pairs
+  UNION
+  SELECT docid_b AS src, docid_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id AS docid, coalesce(comp.cluster, d.doc_id)::BIGINT AS cluster
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+ORDER BY docid"""
+    )
 
     sqls["simhash"] = f"""WITH {_WS},
 tok AS (SELECT doc_id, unnest(toks) AS tok FROM wtl),

@@ -22,6 +22,11 @@ from mini_search_engine_spark.ops.ann import (
     read_ivf_index,
     write_ivf_index,
 )
+from mini_search_engine_spark.ops.cluster import (
+    connected_components,
+    dedup_clusters,
+    dedup_keep_canonical,
+)
 from mini_search_engine_spark.ops.chunk import (
     chunk_documents,
     pack_sequences,
@@ -56,6 +61,9 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "connected_components",
+    "dedup_clusters",
+    "dedup_keep_canonical",
     "chunk_documents",
     "pack_sequences",
     "hash_sample",
