@@ -179,3 +179,36 @@ def test_delete_docs_snapshot_time_travel_and_purge(spark, tmp_path):
 def test_delete_docs_requires_snapshot(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         delete_docs(spark, str(tmp_path / "nowhere"), [1])
+
+
+def test_dedup_to_takedown_pipeline(spark, tmp_path):
+    """The full 100 TB dedup loop end-to-end: discover near-dup clusters
+    (MinHash → connected components), tombstone the non-canonical members
+    of an ALREADY-BUILT segmented index via delete_docs (DataFrame form),
+    and verify search serves exactly one representative per cluster."""
+    from mini_search_engine_spark.ops import dedup_clusters
+    from mini_search_engine_spark.search import search_keyword
+
+    # 7 content groups × 2 exact-dup docs (i and i+7), disjoint vocabulary
+    rows = [
+        (i, f"group{i % 7}x token{i % 7}a token{i % 7}b token{i % 7}c", "en", "t", 0)
+        for i in range(14)
+    ]
+    docs = _corpus(spark, rows)
+    idxp = str(tmp_path / "takedown_idx")
+    for s, (lo, hi) in enumerate([(0, 7), (7, 14)]):
+        seg = build_index(
+            _corpus(spark, rows[lo:hi]), analyzer="porter", block_span=8
+        )
+        assert write_segment(seg, idxp, str(s)) is True
+        seg.unpersist()
+
+    clusters = dedup_clusters(docs)
+    tomb = clusters.filter(F.col("docid") != F.col("cluster")).select("docid")
+    assert sorted(r["docid"] for r in tomb.collect()) == list(range(7, 14))
+    delete_docs(spark, idxp, tomb)
+
+    live = read_segmented_index(spark, idxp, block_span=8)
+    assert live.n_docs == 7
+    for k in range(7):
+        assert [r["docid"] for r in search_keyword(live, f"token{k}a").collect()] == [k]
