@@ -284,6 +284,15 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(load_documents(spark, sf_dir))
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span detection (ops/dedup.py duplicate_spans):
+    8-token windows appearing verbatim in ≥2 docs, with per-doc duplicated
+    token coverage (interval union, overlaps not double-counted)."""
+    from mini_search_engine_spark.ops import duplicate_spans
+
+    return duplicate_spans(load_documents(spark, sf_dir), window=8).orderBy("docid")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH candidate pairs
     (ops/cluster.py min-label propagation): every document mapped to its
@@ -543,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -770,6 +780,32 @@ FROM documents GROUP BY sha256(text)"""
     )
 
     sqls["minhash_pairs"] = "WITH " + _PAIRS + "\nSELECT docid_a, docid_b FROM pairs"
+
+    # W=8; DuckDB slice [a : a+7] is inclusive (8 tokens), range() stop is
+    # exclusive (starts 1..n-7); interval-union via lag works because W is
+    # constant (prev running max end == lag(start)+W under sorted starts)
+    sqls["duplicate_spans"] = f"""WITH wt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM wt WHERE len(toks) >= 8),
+w AS (SELECT doc_id, n, toks, unnest(range(1, n - 6)) AS start FROM nz),
+h AS (SELECT doc_id, n, start,
+             {_hash60("array_to_string(toks[start : start + 7], ' ')")} AS h
+      FROM w),
+d AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT doc_id, n, start FROM h WHERE h IN (SELECT h FROM d)),
+c AS (SELECT doc_id, n, start,
+             coalesce(8 - least(8, greatest(0,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 8 - start)), 8) AS add
+      FROM f)
+SELECT doc_id AS docid,
+       (max(n) - 7)::BIGINT AS n_windows,
+       count(*)::BIGINT AS n_dup_windows,
+       sum(add)::BIGINT AS dup_tokens,
+       round(sum(add)::DOUBLE / max(n), 6) AS dup_frac
+FROM c GROUP BY doc_id ORDER BY docid"""
 
     # min-docid-reachable per node via recursive CTE == the fixed point of
     # the engine's min-label propagation; singletons fall back to their own

@@ -264,3 +264,74 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, window: int = 8, content_col: str = "content"
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: flag every ``window``-token run that
+    appears verbatim in ≥2 distinct documents (the exact-substring dedup
+    signal of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better" — arXiv:2107.06499 — reshaped from suffix arrays to a
+    shuffle-friendly rolling-window form).
+
+    → (docid, n_windows, n_dup_windows, dup_tokens, dup_frac), one row per
+    document containing at least one cross-doc duplicated window;
+    ``dup_tokens`` is the size of the UNION of flagged [start, start+W)
+    intervals (overlaps not double-counted — computed with a lag window
+    over sorted starts, exact because W is constant), ``dup_frac`` that
+    union over the doc's token count.
+
+    Scale shape: one row per token position (the window transform is a
+    within-row array op), ONE groupBy on the 60-bit window hash with
+    map-side partials, a semi-join back on the same hash, then per-doc
+    window+agg that share a single docid exchange. A boilerplate span
+    repeated across millions of docs is one hot GROUP key with a count —
+    not an enumerated pair set — so skew caps at counting, never at
+    pair explosion. Hashes are md5-prefix (portable to the DuckDB
+    oracle bit-for-bit); windows repeated only WITHIN a doc are not
+    flagged (count_distinct(docid) ≥ 2)."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(F.col(content_col))
+    base = (
+        docs.select("docid", toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= window)
+    )
+    win_structs = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - window + 1),
+        lambda i: F.struct(
+            i.alias("start"),
+            md5_long(F.array_join(F.slice(F.col("_toks"), i, window), " ")).alias("h"),
+        ),
+    )
+    wins = base.select(
+        "docid", "_n", F.explode(win_structs).alias("w")
+    ).select("docid", "_n", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("docid").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h", "semi")
+
+    bydoc = Window.partitionBy("docid").orderBy("start")
+    prev_end = F.lag("start").over(bydoc) + window
+    add = F.coalesce(
+        F.lit(window)
+        - F.least(F.lit(window), F.greatest(F.lit(0), prev_end - F.col("start"))),
+        F.lit(window),
+    )
+    return (
+        flagged.withColumn("_add", add)
+        .groupBy("docid")
+        .agg(
+            (F.max("_n") - window + 1).cast("long").alias("n_windows"),
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("_add").cast("long").alias("dup_tokens"),
+            F.round(F.sum("_add") / F.max("_n"), 6).alias("dup_frac"),
+        )
+    )

@@ -308,3 +308,32 @@ def test_ivf_partition_pruning(vectors, tmp_path, spark):
     assert dsk == mem
     plan = dsk_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+
+
+def test_duplicate_spans(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import duplicate_spans
+
+    rows = [
+        (0, "a b c d e f g h", "en", "t", 0),
+        (1, "x x a b c d y z", "en", "t", 0),  # shares the 4-token run "a b c d" with doc 0
+        (2, "nothing in common here at all ok", "en", "t", 0),
+        (3, "p q r p q r p q r", "en", "t", 0),  # repeats only WITHIN itself
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    out = {r["docid"]: r for r in duplicate_spans(docs, window=3).collect()}
+
+    # only docs 0 and 1 share a cross-doc window; within-doc repeats (3) don't count
+    assert set(out) == {0, 1}
+    # doc 0: flagged window starts 1,2 ("a b c","b c d") -> union [1,5) = 4 tokens of 8
+    assert out[0]["n_windows"] == 6
+    assert out[0]["n_dup_windows"] == 2
+    assert out[0]["dup_tokens"] == 4  # overlap NOT double-counted (2*3=6 naive)
+    assert abs(out[0]["dup_frac"] - 0.5) < 1e-9
+    # doc 1: flagged starts 3,4 -> union [3,7) = 4 tokens of 8
+    assert out[1]["dup_tokens"] == 4
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
