@@ -163,6 +163,46 @@ def q_fuzzy_search(spark, sf_dir):
     return search_fuzzy(_index(spark, sf_dir), "spank", max_edits=1)
 
 
+def _code_corpus(spark, sf_dir):
+    """Deterministic code-shaped derivation of the documents table (both
+    engines build the SAME text): prepend a camelCase ident, a snake_case
+    ident, and an ACRONYM+digit ident built from the doc's first 4 words —
+    exercises every boundary rule of the code analyzer
+    (analysis/tokenizers.py CODE_* spec) at corpus scale."""
+    w = F.split(F.col("content"), " ")
+
+    def cap(i):
+        t = F.element_at(w, i)
+        return F.concat(F.upper(F.substring(t, 1, 1)), F.expr(
+            f"substring(element_at(split(content, ' '), {i}), 2)"
+        ))
+
+    ident_camel = F.concat(F.lit("get"), cap(1), cap(2))
+    ident_snake = F.concat(F.element_at(w, 3), F.lit("_"), F.element_at(w, 4), F.lit("_count"))
+    ident_acro = F.concat(F.lit("HTTP"), cap(1), F.lit("42"))
+    derived = F.concat_ws(" ", ident_camel, ident_snake, ident_acro, F.col("content"))
+    return load_documents(spark, sf_dir).withColumn("content", derived)
+
+
+def q_code_term_df(spark, sf_dir):
+    """Full (term, df) vocabulary of the code-analyzed derived corpus —
+    hashes EVERY subtoken the camelCase/snake_case/acronym splitter emits
+    against the DuckDB twin of the regex spec."""
+    idx = build_index(_code_corpus(spark, sf_dir), analyzer="code", block_span=BLOCK_SPAN)
+    return idx.termstats.select("term", "df")
+
+
+def q_code_search(spark, sf_dir):
+    """Cross-convention hit: the camelCase QUERY string 'getWindowCount'
+    analyzes to [get, window, count] and AND-matches docs whose snake_case
+    ident / text carry the same subtokens — the user-visible point of
+    code-aware tokenization."""
+    from mini_search_engine_spark.analysis.udfs import analyze_query
+
+    idx = build_index(_code_corpus(spark, sf_dir), analyzer="code", block_span=BLOCK_SPAN)
+    return search_and(idx, analyze_query("getWindowCount", "code"))
+
+
 def q_tfidf(spark, sf_dir):
     return _round_score(
         search_tfidf(_index(spark, sf_dir), ["spark", "merge"], topk=None), k=10
@@ -543,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
+        "code_term_df": q_code_term_df,
+        "code_search": q_code_search,
         "term_df": q_term_df,
         "doclens": q_doclens,
         "postings_blocks": q_postings_blocks,
@@ -700,6 +742,38 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # postings put every conjunct into its segment's dictionary) — the
     # entry exists to hash-check that equivalence
     sqls["and_search_segments"] = sqls["and_search"]
+
+    # code-analyzer oracles: same derived corpus + the DuckDB twin of the
+    # CODE_* regex spec (two boundary rules, lower, split, drop empties)
+    _CAP1 = "upper(substr(t[1],1,1)) || substr(t[1],2)"
+    _CAP2 = "upper(substr(t[2],1,1)) || substr(t[2],2)"
+    _CODE_TOK = f"""cw AS (
+  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+),
+cd AS (
+  SELECT doc_id,
+         concat_ws(' ',
+           'get' || {_CAP1} || {_CAP2},
+           t[3] || '_' || t[4] || '_count',
+           'HTTP' || {_CAP1} || '42',
+           text) AS content
+  FROM cw
+),
+ctok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(
+           regexp_replace(regexp_replace(content, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+                          '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+           '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM cd
+)"""
+
+    sqls["code_term_df"] = f"""WITH {_CODE_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ctok GROUP BY term"""
+
+    sqls["code_search"] = f"""WITH {_CODE_TOK}
+SELECT doc_id AS docid FROM ctok WHERE term IN ('get', 'window', 'count')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3 ORDER BY docid"""
 
     sqls["or_search"] = f"""WITH {_TOK}
 SELECT DISTINCT doc_id AS docid FROM tok WHERE term IN ('vector', 'window') ORDER BY docid"""

@@ -41,6 +41,35 @@ PUNCT_SPLIT_PATTERN = "[,.;?! ^\\f\\n\\r\\t\\x0B]"
 
 NAIVE_SPLIT_RE = re.compile(r"\s+")
 
+# Code-aware tokenization (BASELINE.json north_star: "code-aware
+# tokenization … over a table of source repos"). Spec shared verbatim by
+# three engines — this Python kernel (queries/tests), the Catalyst column
+# (`udfs._code_tokens_native`, build hot path: three regexp_replace +
+# lower + split, whole-stage codegen, zero Python), and the DuckDB oracle
+# (`__spark_entry__.oracle_sql`). Two boundary rules then a split:
+#   1. ACRONYM|Word   "HTTPServer"  -> "HTTP Server"   ([A-Z]+)([A-Z][a-z])
+#   2. lower|Upper    "getUser42X"  -> "getUser42 X"   ([a-z0-9])([A-Z])
+#   3. lowercase, split on [^a-z0-9]+ (kills '_', '.', '(' …), drop empties
+# Subtokens ONLY (no whole-identifier dual emission): keeps tf == dl and
+# positions a plain sequence. No stopword removal — 'return'/'import' are
+# legitimate code search terms.
+CODE_BOUNDARY_1 = "([A-Z]+)([A-Z][a-z])"
+CODE_BOUNDARY_2 = "([a-z0-9])([A-Z])"
+CODE_SPLIT_PATTERN = "[^a-z0-9]+"
+_CODE_B1_RE = re.compile(CODE_BOUNDARY_1)
+_CODE_B2_RE = re.compile(CODE_BOUNDARY_2)
+_CODE_SPLIT_RE = re.compile(CODE_SPLIT_PATTERN)
+
+
+def code_tokenize(text: str | None) -> list[str]:
+    """camelCase/snake_case-aware subtoken stream: ``parseHTTPResponse_v2``
+    → ``['parse', 'http', 'response', 'v2']``."""
+    if not text:
+        return []
+    s = _CODE_B1_RE.sub(r"\1 \2", text)
+    s = _CODE_B2_RE.sub(r"\1 \2", s)
+    return [t for t in _CODE_SPLIT_RE.split(s.lower()) if t]
+
 
 def punctuation_tokenize(text: str | None) -> list[str]:
     if not text:
@@ -159,6 +188,8 @@ def analyze(text: str | None, tokenizer: str = "punctuation", stem: bool = True)
         toks = punctuation_tokenize(text)
     elif tokenizer == "naive":
         toks = naive_tokenize(text)
+    elif tokenizer == "code":
+        toks = code_tokenize(text)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     if stem:

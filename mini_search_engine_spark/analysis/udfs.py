@@ -47,6 +47,24 @@ def _naive_tokens_native(col: Column) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
+def _code_tokens_native(col: Column) -> Column:
+    """Code-aware tokenizer as pure Catalyst (north_star's "code-aware
+    tokenization" — realized as three JVM regexp passes inside whole-stage
+    codegen rather than an Arrow UDF: no Python, no batch transfer). Spec
+    twin of ``tokenizers.code_tokenize``; the DuckDB oracle runs the same
+    two boundary rules + split with ``regexp_replace(…, 'g')``."""
+    from mini_search_engine_spark.analysis.tokenizers import (
+        CODE_BOUNDARY_1,
+        CODE_BOUNDARY_2,
+        CODE_SPLIT_PATTERN,
+    )
+
+    s = F.regexp_replace(col, CODE_BOUNDARY_1, "$1 $2")
+    s = F.regexp_replace(s, CODE_BOUNDARY_2, "$1 $2")
+    toks = F.split(F.lower(s), CODE_SPLIT_PATTERN)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
 def _make_analyze_pandas(tokenizer: str, stem: bool):
     @F.pandas_udf(ArrayType(StringType()))
     def _analyze(texts: pd.Series) -> pd.Series:
@@ -65,6 +83,8 @@ ANALYZERS: dict[str, Callable[[Column], Column]] = {
     "punct_nostem": _punct_tokens_native,
     # reference NaiveAnalyzer (native)
     "naive": _naive_tokens_native,
+    # code-aware camelCase/snake_case subtoken analyzer (native, codegen)
+    "code": _code_tokens_native,
 }
 
 # word-break analyzers registered at runtime: name -> (logp dict, max word
@@ -189,6 +209,8 @@ def analyze_query(text: str, analyzer: str = "porter") -> list[str]:
         return analyze(text, tokenizer="punctuation", stem=False)
     if analyzer == "naive":
         return analyze(text, tokenizer="naive", stem=False)
+    if analyzer == "code":
+        return analyze(text, tokenizer="code", stem=False)
     if analyzer in WORDBREAK_ANALYZERS:
         from mini_search_engine_spark.analysis.tokenizers import (
             _stem_cached,

@@ -189,7 +189,7 @@ def tokenize_docs(
     # * 'punct_nostem'/'naive' keep the pure-JVM Catalyst expression path —
     #   they exist for DuckDB-oracle parity queries, where staying inside
     #   whole-stage codegen (and Spark's own `lower`) is the point.
-    native = analyzer in ("punct_nostem", "naive", "porter")
+    native = analyzer in ("punct_nostem", "naive", "porter", "code")
     stem = analyzer == "porter"
     nn_content = F.coalesce(F.col("content"), F.lit(""))  # NULL-safe
     if stem:
@@ -1063,7 +1063,7 @@ def build_index(
     # groupBy(docid) shuffles every posting row and whose left join added a
     # second (flat, non-scaling) job to every index write. Non-native
     # analyzers fall back to the tf derivation.
-    if analyzer in ("porter", "punct_nostem", "naive"):
+    if analyzer in ("porter", "punct_nostem", "naive", "code"):
         doclens = doc_lengths(docs, analyzer)
     else:
         dl_nonzero = tf.groupBy("docid").agg(F.max("dl").alias("dl"))

@@ -180,3 +180,67 @@ def test_java_trim_parity_across_paths(spark):
     exp_counts = {i: len(analyze(t, tokenizer="punctuation", stem=True)) for i, t in enumerate(texts)}
     assert {k: v for k, v in got.items()} == {k: v for k, v in exp_counts.items() if v}
     idx.unpersist()
+
+
+CODE_CASES = {
+    "parseHTTPResponse_v2": ["parse", "http", "response", "v2"],
+    "getUserName": ["get", "user", "name"],
+    "snake_case_name": ["snake", "case", "name"],
+    "SimpleHTTPServer42 x": ["simple", "http", "server42", "x"],
+    "def foo(bar): return bar.baz[0]": ["def", "foo", "bar", "return", "bar", "baz", "0"],
+    "XMLHttpRequest": ["xml", "http", "request"],
+    "a_b__c": ["a", "b", "c"],
+    "": [],
+}
+
+
+def test_code_tokenizer_goldens():
+    from mini_search_engine_spark.analysis.tokenizers import code_tokenize
+
+    for s, want in CODE_CASES.items():
+        assert code_tokenize(s) == want, s
+
+
+def test_code_tokenizer_catalyst_parity(spark):
+    """The pure-Catalyst column twin must agree token-for-token with the
+    Python kernel (same CODE_* spec, two regex engines)."""
+    import pyspark.sql.functions as F
+
+    from mini_search_engine_spark.analysis.udfs import analyze_col, analyze_query
+
+    df = spark.createDataFrame([(s,) for s in CODE_CASES if s], "content string")
+    got = {
+        r["content"]: r["toks"]
+        for r in df.select(
+            "content", analyze_col(F.col("content"), "code").alias("toks")
+        ).collect()
+    }
+    for s, want in CODE_CASES.items():
+        if s:
+            assert got[s] == want, s
+    assert analyze_query("getWindowCount", "code") == ["get", "window", "count"]
+
+
+def test_code_analyzer_end_to_end_search(spark):
+    """camelCase Java + snake_case Python spellings of the same concept
+    land on the same subtokens; an AND query finds both."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.search import search_and, search_phrase
+
+    rows = [
+        (0, "class InvertedIndexManager { void flushSegment() {} }", "en", "t", 0),
+        (1, "def flush_segment(): pass", "en", "t", 0),
+        (2, "nothing relevant here", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    idx = build_index(docs, analyzer="code", positional=True)
+    assert sorted(r["docid"] for r in search_and(idx, ["flush", "segment"]).collect()) == [0, 1]
+    # positions survive subtokenization: "flush segment" is adjacent in both
+    assert sorted(
+        r["docid"] for r in search_phrase(idx, ["flush", "segment"]).collect()
+    ) == [0, 1]
