@@ -333,6 +333,20 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(load_documents(spark, sf_dir), window=8).orderBy("docid")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/dedup.py decontaminate): docs with
+    docid % 10 == 0 play the eval set; every other doc sharing a verbatim
+    8-token window with it is flagged with its contaminated-token
+    coverage. Train side shuffles nothing — the eval window-hash set is
+    broadcast and the semi-join runs map-side."""
+    from mini_search_engine_spark.ops import decontaminate
+
+    docs = load_documents(spark, sf_dir)
+    ev = docs.filter(F.col("docid") % 10 == 0)
+    tr = docs.filter(F.col("docid") % 10 != 0)
+    return decontaminate(tr, ev, window=8).orderBy("docid")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH candidate pairs
     (ops/cluster.py min-label propagation): every document mapped to its
@@ -595,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "decontaminate": q_decontaminate,
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -879,6 +894,31 @@ SELECT doc_id AS docid,
        count(*)::BIGINT AS n_dup_windows,
        sum(add)::BIGINT AS dup_tokens,
        round(sum(add)::DOUBLE / max(n), 6) AS dup_frac
+FROM c GROUP BY doc_id ORDER BY docid"""
+
+    # same window machinery; eval = doc_id % 10 == 0, train = the rest
+    sqls["decontaminate"] = f"""WITH wt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM wt WHERE len(toks) >= 8),
+w AS (SELECT doc_id, n, toks, unnest(range(1, n - 6)) AS start FROM nz),
+h AS (SELECT doc_id, n, start,
+             {_hash60("array_to_string(toks[start : start + 7], ' ')")} AS h
+      FROM w),
+evh AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 = 0),
+f AS (SELECT doc_id, n, start FROM h
+      WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM evh)),
+c AS (SELECT doc_id, n, start,
+             coalesce(8 - least(8, greatest(0,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 8 - start)), 8) AS add
+      FROM f)
+SELECT doc_id AS docid,
+       (max(n) - 7)::BIGINT AS n_windows,
+       count(*)::BIGINT AS n_contam_windows,
+       sum(add)::BIGINT AS contam_tokens,
+       round(sum(add)::DOUBLE / max(n), 6) AS contam_frac
 FROM c GROUP BY doc_id ORDER BY docid"""
 
     # min-docid-reachable per node via recursive CTE == the fixed point of

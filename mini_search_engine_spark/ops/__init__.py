@@ -4,6 +4,7 @@ hash functions are md5-prefix based so a DuckDB oracle can replicate them
 bit-for-bit."""
 
 from mini_search_engine_spark.ops.dedup import (
+    decontaminate,
     duplicate_spans,
     exact_dedup,
     minhash_signatures,
@@ -47,6 +48,7 @@ from mini_search_engine_spark.ops.textstats import (
 )
 
 __all__ = [
+    "decontaminate",
     "duplicate_spans",
     "exact_dedup",
     "minhash_signatures",

@@ -291,8 +291,20 @@ def duplicate_spans(
     pair explosion. Hashes are md5-prefix (portable to the DuckDB
     oracle bit-for-bit); windows repeated only WITHIN a doc are not
     flagged (count_distinct(docid) ≥ 2)."""
-    from pyspark.sql.window import Window
+    wins = _window_hash_rows(docs, window, content_col)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("docid").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    return _span_coverage(wins.join(dup_h, "h", "semi"), window, prefix="dup")
 
+
+def _window_hash_rows(docs: DataFrame, window: int, content_col: str) -> DataFrame:
+    """(docid, _n, start, h): one row per token position — a 60-bit
+    md5-prefix hash of each ``window``-token run (1-based starts). The
+    window transform is a within-row array op; no shuffle."""
     toks = _tokens(F.col(content_col))
     base = (
         docs.select("docid", toks.alias("_toks"))
@@ -306,17 +318,18 @@ def duplicate_spans(
             md5_long(F.array_join(F.slice(F.col("_toks"), i, window), " ")).alias("h"),
         ),
     )
-    wins = base.select(
-        "docid", "_n", F.explode(win_structs).alias("w")
-    ).select("docid", "_n", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
-
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("docid").alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("h")
+    return base.select("docid", "_n", F.explode(win_structs).alias("w")).select(
+        "docid", "_n", F.col("w.start").alias("start"), F.col("w.h").alias("h")
     )
-    flagged = wins.join(dup_h, "h", "semi")
+
+
+def _span_coverage(flagged: DataFrame, window: int, prefix: str) -> DataFrame:
+    """Per-doc coverage of flagged constant-width [start, start+W) windows:
+    token count of their interval UNION (overlaps not double-counted —
+    under sorted starts the previous interval's running max end is just
+    ``lag(start)+W``, exact because W is constant) and that union as a
+    fraction of the doc's tokens."""
+    from pyspark.sql.window import Window
 
     bydoc = Window.partitionBy("docid").orderBy("start")
     prev_end = F.lag("start").over(bydoc) + window
@@ -330,8 +343,38 @@ def duplicate_spans(
         .groupBy("docid")
         .agg(
             (F.max("_n") - window + 1).cast("long").alias("n_windows"),
-            F.count("*").cast("long").alias("n_dup_windows"),
-            F.sum("_add").cast("long").alias("dup_tokens"),
-            F.round(F.sum("_add") / F.max("_n"), 6).alias("dup_frac"),
+            F.count("*").cast("long").alias(f"n_{prefix}_windows"),
+            F.sum("_add").cast("long").alias(f"{prefix}_tokens"),
+            F.round(F.sum("_add") / F.max("_n"), 6).alias(f"{prefix}_frac"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 8,
+    content_col: str = "content",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training doc containing a
+    ``window``-token run that appears verbatim in the eval/benchmark set
+    (the n-gram overlap test of GPT-3 appendix C / Brown et al. 2020,
+    arXiv:2005.14165 §4, in the rolling-window form of Lee et al. 2021).
+
+    → (docid, n_windows, n_contam_windows, contam_tokens, contam_frac),
+    one row per CONTAMINATED training doc; callers anti-join or threshold
+    on ``contam_frac`` to drop/clean.
+
+    Scale shape: the train side is one window-hash pass with NO shuffle at
+    all when ``broadcast_eval`` — eval sets are benchmark-sized (thousands
+    of docs), so their distinct window hashes broadcast and the semi-join
+    runs map-side; the only exchange is the final per-doc agg. At 100 TB of
+    train × a few MB of eval that is the difference between a full-corpus
+    shuffle and none. Set ``broadcast_eval=False`` only if the eval set is
+    itself corpus-sized (falls back to a hash-partitioned semi-join)."""
+    wins = _window_hash_rows(train, window, content_col)
+    ev = _window_hash_rows(eval_docs, window, content_col).select("h").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return _span_coverage(wins.join(ev, "h", "semi"), window, prefix="contam")

@@ -337,3 +337,36 @@ def test_duplicate_spans(spark):
     # doc 1: flagged starts 3,4 -> union [3,7) = 4 tokens of 8
     assert out[1]["dup_tokens"] == 4
     assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
+
+
+def test_decontaminate(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "t", 0),  # eval doc
+        (1, "xx alpha beta gamma yy zz ww", "en", "t", 0),  # contains eval 3-gram
+        (2, "totally clean text with no overlap at all", "en", "t", 0),
+        (3, "alpha beta gamma delta qq rr", "en", "t", 0),  # two overlapping 3-grams
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    ev = docs.filter("docid = 0")
+    tr = docs.filter("docid != 0")
+    out_df = decontaminate(tr, ev, window=3)
+    out = {r["docid"]: r for r in out_df.collect()}
+
+    assert set(out) == {1, 3}
+    # doc 1: one flagged window at start 2 -> 3 contaminated tokens of 7
+    assert out[1]["n_contam_windows"] == 1 and out[1]["contam_tokens"] == 3
+    # doc 3: flagged starts 1,2 -> union [1,5) = 4 tokens of 6 (overlap merged)
+    assert out[3]["n_contam_windows"] == 2 and out[3]["contam_tokens"] == 4
+    assert abs(out[3]["contam_frac"] - round(4 / 6, 6)) < 1e-9
+
+    # scale shape: the eval window-hash set is BROADCAST — the train side
+    # reaches the per-doc agg without a join shuffle
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
