@@ -203,6 +203,17 @@ def q_code_search(spark, sf_dir):
     return search_and(idx, analyze_query("getWindowCount", "code"))
 
 
+def q_snippets(spark, sf_dir):
+    """Result-page snippet extraction (search/snippets.py): first hit
+    position of {spark, merge} per matching doc + the 7-token highlighted
+    context window. In serving this runs AFTER the postings-pruned match
+    (see search_with_snippets) — here over all matching docs so the oracle
+    hashes every snippet."""
+    from mini_search_engine_spark.search import snippets
+
+    return snippets(load_documents(spark, sf_dir), ["spark", "merge"], width=3)
+
+
 def q_tfidf(spark, sf_dir):
     return _round_score(
         search_tfidf(_index(spark, sf_dir), ["spark", "merge"], topk=None), k=10
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
+        "snippets": q_snippets,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -757,6 +769,27 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # postings put every conjunct into its segment's dictionary) — the
     # entry exists to hash-check that equivalence
     sqls["and_search_segments"] = sqls["and_search"]
+
+    # snippet semantics replicated: first hit position via list_position
+    # (0 when absent → nullif; least() ignores NULLs), 7-token inclusive
+    # slice, CASE-highlighting, single-space join
+    sqls["snippets"] = f"""WITH {_TL},
+p AS (
+  SELECT doc_id, toks,
+         least(nullif(list_position(toks, 'spark'), 0),
+               nullif(list_position(toks, 'merge'), 0)) AS pos
+  FROM tl
+),
+s AS (
+  SELECT doc_id, pos,
+         toks[greatest(1, pos - 3) : greatest(1, pos - 3) + 6] AS win
+  FROM p WHERE pos IS NOT NULL
+)
+SELECT doc_id AS docid, pos::BIGINT AS pos,
+       array_to_string(list_transform(win,
+         x -> CASE WHEN x IN ('spark', 'merge') THEN '[' || x || ']' ELSE x END),
+         ' ') AS snippet
+FROM s ORDER BY docid"""
 
     # code-analyzer oracles: same derived corpus + the DuckDB twin of the
     # CODE_* regex spec (two boundary rules, lower, split, drop empties)

@@ -19,6 +19,7 @@ from mini_search_engine_spark.search.expand import (
     vocab_matches,
 )
 from mini_search_engine_spark.search.fullscan import full_scan_search
+from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
 from mini_search_engine_spark.search.pagerank import pagerank, combined_search
 
 __all__ = [
@@ -35,6 +36,8 @@ __all__ = [
     "search_tfidf",
     "bm25_topk",
     "full_scan_search",
+    "snippets",
+    "search_with_snippets",
     "pagerank",
     "combined_search",
 ]

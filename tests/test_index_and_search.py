@@ -593,3 +593,38 @@ def test_bm25_fused_cold_single_job(spark, corpus):
     # (hot-path jobs + 1 sequential probe job)
     ref.unpersist()
     warm.unpersist()
+
+
+def test_snippets_and_serving_page(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.search import search_with_snippets, snippets
+
+    rows = [
+        (0, "alpha beta spark gamma delta epsilon zeta", "en", "t", 0),
+        (1, "spark at the very start of this document", "en", "t", 0),
+        (2, "no hits here whatsoever", "en", "t", 0),
+        (3, "tail words then merge", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+
+    out = {r["docid"]: r for r in snippets(docs, ["spark", "merge"], width=2).collect()}
+    assert set(out) == {0, 1, 3}
+    # centered window, highlighted hit
+    assert out[0]["pos"] == 3 and out[0]["snippet"] == "alpha beta [spark] gamma delta"
+    # clamped at the left edge; snippet shows the ANALYZED stream (what the
+    # index matched on), so stopwords are gone
+    assert out[1]["pos"] == 1 and out[1]["snippet"] == "[spark] start document"
+    # clamped at the right edge ("the" is a stopword -> analyzed stream drops it)
+    assert out[3]["snippet"].endswith("[merge]")
+
+    idx = build_index(docs, analyzer="punct_nostem")
+    page = search_with_snippets(idx, docs, "spark merge", k=2, width=2)
+    got = page.collect()
+    assert len(got) == 2
+    assert all(r["snippet"] and ("[spark]" in r["snippet"] or "[merge]" in r["snippet"]) for r in got)
+    assert got[0]["score"] >= got[1]["score"]
