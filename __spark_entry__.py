@@ -214,6 +214,14 @@ def q_snippets(spark, sf_dir):
     return snippets(load_documents(spark, sf_dir), ["spark", "merge"], width=3)
 
 
+def q_suggest(spark, sf_dir):
+    """Search-as-you-type: top-10 dictionary terms for prefix 's' by df
+    (ties lexical). Termstats-sidecar only — corpus-size-independent."""
+    from mini_search_engine_spark.search import suggest
+
+    return suggest(_index(spark, sf_dir), "s", k=10)
+
+
 def q_tfidf(spark, sf_dir):
     return _round_score(
         search_tfidf(_index(spark, sf_dir), ["spark", "merge"], topk=None), k=10
@@ -609,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
         "snippets": q_snippets,
+        "suggest": q_suggest,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -769,6 +778,10 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # postings put every conjunct into its segment's dictionary) — the
     # entry exists to hash-check that equivalence
     sqls["and_search_segments"] = sqls["and_search"]
+
+    sqls["suggest"] = f"""WITH {_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term LIMIT 10"""
 
     # snippet semantics replicated: first hit position via list_position
     # (0 when absent → nullif; least() ignores NULLs), 7-token inclusive

@@ -15,6 +15,7 @@ from mini_search_engine_spark.search.ranking import (
 from mini_search_engine_spark.search.expand import (
     search_fuzzy,
     search_prefix,
+    suggest,
     search_wildcard,
     vocab_matches,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "search_prefix",
     "search_wildcard",
     "search_fuzzy",
+    "suggest",
     "vocab_matches",
     "search_tfidf",
     "bm25_topk",

@@ -136,3 +136,20 @@ def search_fuzzy(
         & F.levenshtein(F.col("term"), F.lit(q), max_edits).between(0, max_edits)
     )
     return _docids_for_expansion(index, cond, max_expansion)
+
+
+def suggest(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:
+    """Search-as-you-type completion: the top-``k`` dictionary terms
+    starting with ``prefix``, ranked by document frequency (ties broken
+    lexically). Runs entirely on the O(vocabulary) termstats sidecar —
+    TakeOrderedAndProject over a startswith filter; the postings are never
+    touched, so latency is independent of corpus size."""
+    p = _norm(prefix)
+    if not p:
+        raise ValueError("prefix must be non-empty after normalization")
+    return (
+        vocab_matches(index, F.col("term").startswith(p))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

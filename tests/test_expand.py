@@ -85,3 +85,27 @@ def test_semi_join_fallback_matches_inline(spark, idx):
 def test_vocab_matches_exposes_expansion(spark, idx):
     terms = {r["term"] for r in vocab_matches(idx, F.col("term").startswith("c")).collect()}
     assert terms == {"cat"}
+
+
+def test_suggest(spark, idx):
+    from mini_search_engine_spark.search import suggest
+
+    # porter-analyzed vocabulary: 'stemming stems stemmed' all stem to 'stem'
+    got = [(r["term"], r["df"]) for r in suggest(idx, "st", k=5).collect()]
+    assert got == [("stem", 1)]
+    # df-ranked, ties lexical: 'cat' (docs 0,2,7) beats 'quick' (doc 5)
+    top = [r["term"] for r in suggest(idx, "c", k=3).collect()]
+    assert top[0] == "cat"
+    with pytest.raises(ValueError):
+        suggest(idx, "  ")
+    # the executed plan is TakeOrderedAndProject over ONE cached scan whose
+    # columns are the vocab sidecar's (term/df-shaped) — no join, no
+    # explode, no postings probe. Everything after the first
+    # InMemoryTableScan is the cache's stored build lineage, not executed
+    # on a warm query, so only the prefix is asserted.
+    plan = suggest(idx, "c", k=3)._jdf.queryExecution().executedPlan().toString()
+    executed, _, rest = plan.partition("InMemoryTableScan")
+    scan_cols = rest[rest.index("[") : rest.index("]")]
+    assert "TakeOrderedAndProject" in executed, plan
+    assert "Join" not in executed and "Explode" not in executed, plan
+    assert "term" in scan_cols and "plist" not in scan_cols, plan
