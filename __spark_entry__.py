@@ -214,6 +214,22 @@ def q_snippets(spark, sf_dir):
     return snippets(load_documents(spark, sf_dir), ["spark", "merge"], width=3)
 
 
+def q_substring_search(spark, sf_dir):
+    """Trigram-indexed substring search (index/trigram.py — the Google
+    Code Search / Zoekt structure): the literal's RAREST trigram posting
+    lists are intersected for candidates, then contains() verifies exactly
+    on the candidate-pruned corpus only. 'fast key order' has 12 trigrams
+    → the max_grams=8 rarest-first pruning path is exercised."""
+    from mini_search_engine_spark.index.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_trigram_index(docs)
+    return substring_search(idx, docs, "fast key order")
+
+
 def q_suggest(spark, sf_dir):
     """Search-as-you-type: top-10 dictionary terms for prefix 's' by df
     (ties lexical). Termstats-sidecar only — corpus-size-independent."""
@@ -618,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_deletes_bm25": q_doc_deletes_bm25,
         "snippets": q_snippets,
         "suggest": q_suggest,
+        "substring_search": q_substring_search,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -778,6 +795,11 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # postings put every conjunct into its segment's dictionary) — the
     # entry exists to hash-check that equivalence
     sqls["and_search_segments"] = sqls["and_search"]
+
+    # the trigram index is a pruning structure; its contract is exactly
+    # substring containment, which IS the oracle
+    sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
+WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
 
     sqls["suggest"] = f"""WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok

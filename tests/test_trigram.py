@@ -1,0 +1,89 @@
+"""Trigram index + verified substring search (index/trigram.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.index.trigram import (
+    _gram_hash_py,
+    _query_grams,
+    build_trigram_index,
+    substring_search,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "def flushSegment(self): pass", "en", "t", 0),
+        (1, "the FLUSH segment path goes here", "en", "t", 0),
+        (2, "nothing relevant whatsoever", "en", "t", 0),
+        (3, None, "en", "t", 0),
+        (4, "flush flush flush segment segment", "en", "t", 0),
+        (5, "a flu shot is not a flush", "en", "t", 0),  # trigram FP bait
+    ]
+    return load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def tidx(corpus):
+    idx = build_trigram_index(corpus, block_span=2)
+    yield idx
+    idx.unpersist()
+
+
+def _python_oracle(corpus, q):
+    return sorted(
+        r["docid"]
+        for r in corpus.collect()
+        if r["content"] and q.lower() in r["content"].lower()
+    )
+
+
+def _ids(df):
+    return [r["docid"] for r in df.collect()]
+
+
+def test_substring_search_exact(corpus, tidx):
+    for q in ["flush seg", "FLUSH", "flushSegment(self)", "segment path", "not a flush"]:
+        assert _ids(substring_search(tidx, corpus, q)) == _python_oracle(corpus, q), q
+
+
+def test_rarest_gram_pruning_stays_exact(corpus, tidx):
+    # 'flush segment path goes' has 21 grams; max_grams=2 intersects only
+    # the two rarest — verification must still make the result exact
+    q = "segment path goes"
+    assert len(_query_grams(q)) > 2
+    assert _ids(substring_search(tidx, corpus, q, max_grams=2)) == _python_oracle(corpus, q)
+
+
+def test_missing_gram_short_circuits(corpus, tidx):
+    # 'zzz' occurs nowhere: the gramstats probe alone answers empty
+    assert _ids(substring_search(tidx, corpus, "zzzqqq")) == []
+
+
+def test_short_query_raises(corpus, tidx):
+    with pytest.raises(ValueError):
+        substring_search(tidx, corpus, "ab")
+
+
+def test_blocked_postings_cap_hot_grams(corpus, tidx):
+    # block_span=2 over 6 docs: a gram occurring in docs {0,1,4,5} must be
+    # split across blocks, no row carrying all its docids
+    sizes = tidx.postings.select(F.size("docids").alias("s")).agg(F.max("s")).collect()[0][0]
+    assert sizes <= 2  # block span bounds every posting row
+    # df sidecar still counts documents, not rows
+    h = _gram_hash_py("flu")
+    df = tidx.gramstats.filter(F.col("tid") == h).collect()[0]["df"]
+    assert df == 4  # docs 0, 1, 4, 5
+
+
+def test_verification_scan_is_candidate_pruned(corpus, tidx):
+    # the corpus side of the verify join is reached through a semi-join on
+    # candidates (broadcast at this size) — not a full filter-only scan
+    plan = substring_search(tidx, corpus, "flush seg")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
