@@ -368,6 +368,15 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(load_documents(spark, sf_dir), window=8).orderBy("docid")
 
 
+def q_remove_spans(spark, sf_dir):
+    """Span REMOVAL (ops/dedup.py remove_duplicate_spans): cross-doc
+    8-token runs are cut everywhere except their canonical (min-docid)
+    doc; every doc passes through with its cleaned token stream + counts."""
+    from mini_search_engine_spark.ops import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_documents(spark, sf_dir), window=8).orderBy("docid")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (ops/dedup.py decontaminate): docs with
     docid % 10 == 0 play the eval set; every other doc sharing a verbatim
@@ -648,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "decontaminate": q_decontaminate,
+        "remove_duplicate_spans": q_remove_spans,
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -963,6 +973,37 @@ SELECT doc_id AS docid,
        sum(add)::BIGINT AS dup_tokens,
        round(sum(add)::DOUBLE / max(n), 6) AS dup_frac
 FROM c GROUP BY doc_id ORDER BY docid"""
+
+    # removal: flagged starts expand to covered token indices (start+0..7),
+    # kept tokens re-agg in position order; docs with no flags pass through
+    sqls["remove_duplicate_spans"] = f"""WITH wt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM wt WHERE len(toks) >= 8),
+w AS (SELECT doc_id, n, toks, unnest(range(1, n - 6)) AS start FROM nz),
+h AS (SELECT doc_id, n, start,
+             {_hash60("array_to_string(toks[start : start + 7], ' ')")} AS h
+      FROM w),
+canon AS (SELECT h, min(doc_id) AS canon FROM h
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT h.doc_id, h.start FROM h JOIN canon USING (h)
+       WHERE h.doc_id <> canon.canon),
+cov AS (SELECT DISTINCT fl.doc_id, fl.start + g.g AS i
+        FROM fl, (SELECT unnest(range(0, 8)) AS g) g),
+ti AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+       FROM wt),
+kept AS (SELECT t.doc_id, t.tok, t.i FROM ti t
+         ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept_n
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id AS docid,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(w.toks)::BIGINT AS n_tokens,
+       (len(w.toks) - coalesce(a.kept_n, 0))::BIGINT AS removed_tokens
+FROM wt w LEFT JOIN agg a ON w.doc_id = a.doc_id ORDER BY docid"""
 
     # same window machinery; eval = doc_id % 10 == 0, train = the rest
     sqls["decontaminate"] = f"""WITH wt AS (

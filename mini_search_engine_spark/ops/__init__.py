@@ -9,6 +9,7 @@ from mini_search_engine_spark.ops.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
+    remove_duplicate_spans,
     simhash,
     ngram_jaccard_pairs,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_candidate_pairs",
+    "remove_duplicate_spans",
     "simhash",
     "ngram_jaccard_pairs",
     "cosine_pairs",

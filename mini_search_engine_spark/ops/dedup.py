@@ -378,3 +378,64 @@ def decontaminate(
     if broadcast_eval:
         ev = F.broadcast(ev)
     return _span_coverage(wins.join(ev, "h", "semi"), window, prefix="contam")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, window: int = 8, content_col: str = "content"
+) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2021 §4:
+    deduplicate by CUTTING repeated spans, not dropping whole docs): every
+    ``window``-token run appearing in ≥2 distinct docs is kept ONLY in its
+    canonical doc (min docid containing the run) and removed everywhere
+    else.
+
+    → (docid, clean_text, n_tokens, removed_tokens) for EVERY input doc
+    (unaffected docs pass through). ``clean_text`` is the kept token
+    stream rejoined with single spaces — tokenization is lossy about
+    original whitespace/case by design (the op feeds a training-data
+    pipeline, whose tokenizer re-splits anyway), and deterministic so the
+    DuckDB oracle reproduces it byte-for-byte.
+
+    Scale shape: one groupBy(h) with a min+count_distinct (map-side
+    partials; a boilerplate span in millions of docs is ONE hot group, not
+    a pair set), a join back on h, a per-doc collect of flagged starts
+    (bounded by windows-per-doc), then a within-row mask: kept token i ⇔
+    no flagged start s with s ≤ i < s+W — an ``exists`` over the per-doc
+    start array, O(tokens × flagged-windows) inside the row, no token
+    explode, no second corpus shuffle."""
+    toks = _tokens(F.col(content_col))
+    base = docs.select("docid", toks.alias("_toks")).withColumn("_n", F.size("_toks"))
+
+    wins = _window_hash_rows(docs, window, content_col)
+    canon = (
+        wins.groupBy("h")
+        .agg(F.min("docid").alias("_canon"), F.count_distinct("docid").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h", "_canon")
+    )
+    starts = (
+        wins.join(canon, "h")
+        .filter(F.col("docid") != F.col("_canon"))
+        .groupBy("docid")
+        .agg(F.sort_array(F.collect_set("start")).alias("_starts"))
+    )
+
+    joined = base.join(starts, "docid", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (st <= s["i"]) & (s["i"] < st + window),
+        ),
+    )
+    return joined.select(
+        "docid",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        (F.col("_n") - F.size(kept)).cast("long").alias("removed_tokens"),
+    )

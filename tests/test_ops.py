@@ -370,3 +370,32 @@ def test_decontaminate(spark):
     # reaches the per-doc agg without a join shuffle
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_remove_duplicate_spans(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import remove_duplicate_spans
+
+    rows = [
+        (0, "a b c d e f g h", "en", "t", 0),
+        (1, "x x a b c d y z", "en", "t", 0),  # shares 'a b c d' -> doc 0 canonical
+        (2, "clean totally different words here ok", "en", "t", 0),
+        (3, "q q q a b c d r", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    out = {r["docid"]: r for r in remove_duplicate_spans(docs, window=3).collect()}
+    assert len(out) == 4  # every doc passes through
+    # canonical doc keeps its text verbatim
+    assert out[0]["clean_text"] == "a b c d e f g h" and out[0]["removed_tokens"] == 0
+    # non-canonical docs lose the union of flagged intervals only
+    assert out[1]["clean_text"] == "x x y z" and out[1]["removed_tokens"] == 4
+    assert out[3]["clean_text"] == "q q q r" and out[3]["removed_tokens"] == 4
+    assert out[2]["removed_tokens"] == 0
+    # conservation: kept + removed == n_tokens
+    for r in out.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["removed_tokens"] == r["n_tokens"]
