@@ -214,6 +214,27 @@ def q_snippets(spark, sf_dir):
     return snippets(load_documents(spark, sf_dir), ["spark", "merge"], width=3)
 
 
+def q_fielded_bm25(spark, sf_dir):
+    """Multi-field ranked search (search/fields.py): a synthetic 'title'
+    field (first 4 analyzed tokens — deterministic in both engines) gets
+    its OWN index/df/avgdl and a 2.0 boost over the body; score =
+    2·BM25_title + 1·BM25_body, cut to 10 after the sum."""
+    from mini_search_engine_spark.analysis.udfs import analyze_col
+    from mini_search_engine_spark.search import multi_field_bm25
+
+    docs = load_documents(spark, sf_dir)
+    title = docs.withColumn(
+        "content",
+        F.array_join(F.slice(analyze_col(F.col("content"), ANALYZER), 1, 4), " "),
+    )
+    idx_t = build_index(title, analyzer=ANALYZER, block_span=BLOCK_SPAN)
+    idx_b = _index(spark, sf_dir)
+    return _round_score(
+        multi_field_bm25([(idx_t, 2.0), (idx_b, 1.0)], ["spark", "merge"], topk=None),
+        k=10,
+    )
+
+
 def q_substring_search(spark, sf_dir):
     """Trigram-indexed substring search (index/trigram.py — the Google
     Code Search / Zoekt structure): the literal's RAREST trigram posting
@@ -644,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "suggest": q_suggest,
         "substring_search": q_substring_search,
+        "fielded_bm25": q_fielded_bm25,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -896,6 +918,44 @@ SELECT DISTINCT doc_id AS docid FROM tok WHERE levenshtein(term, 'spank') <= 1 O
     sqls["tfidf_topk"] = f"""WITH {_TFIDF_CORE}
 SELECT doc_id AS docid, round(dot / sqrt(len2), 6) AS score
 FROM s ORDER BY round(dot / sqrt(len2), 6) DESC, docid LIMIT 10"""
+
+    # fielded BM25: title = first 4 analyzed tokens, its own df/avgdl;
+    # score = 2·BM25_title + 1·BM25_body (formula text identical to
+    # _bm25_sql per field)
+    sqls["fielded_bm25"] = f"""WITH {_TL},
+tt AS (SELECT doc_id, toks[1:4] AS toks FROM tl),
+q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+n0 AS (SELECT count(*)::DOUBLE AS n FROM documents),
+btok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+btf AS (SELECT doc_id, term, count(*)::INT AS tf FROM btok GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+bavg AS (SELECT avg(dl)::DOUBLE AS avgdl FROM bdl),
+ttok AS (SELECT doc_id, unnest(toks) AS term FROM tt),
+ttf AS (SELECT doc_id, term, count(*)::INT AS tf FROM ttok GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, len(toks)::INT AS dl FROM tt),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term),
+tavg AS (SELECT avg(dl)::DOUBLE AS avgdl FROM tdl),
+bc AS (
+  SELECT btf.doc_id,
+         1.0 * q.qw * ln(1.0 + (n0.n - bdf.df + 0.5) / (bdf.df + 0.5))
+             * (btf.tf * (1.2 + 1.0))
+             / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / bavg.avgdl)) AS sc
+  FROM btf JOIN q USING (term) JOIN bdf USING (term)
+       JOIN bdl USING (doc_id) CROSS JOIN bavg CROSS JOIN n0
+),
+tc AS (
+  SELECT ttf.doc_id,
+         2.0 * q.qw * ln(1.0 + (n0.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * (ttf.tf * (1.2 + 1.0))
+             / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tavg.avgdl)) AS sc
+  FROM ttf JOIN q USING (term) JOIN tdf USING (term)
+       JOIN tdl USING (doc_id) CROSS JOIN tavg CROSS JOIN n0
+),
+s AS (SELECT doc_id, sum(sc) AS score
+      FROM (SELECT * FROM bc UNION ALL SELECT * FROM tc) GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 
     sqls["bm25_topk"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])

@@ -19,6 +19,7 @@ from mini_search_engine_spark.search.expand import (
     search_wildcard,
     vocab_matches,
 )
+from mini_search_engine_spark.search.fields import multi_field_bm25
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
 from mini_search_engine_spark.search.pagerank import pagerank, combined_search
@@ -37,6 +38,7 @@ __all__ = [
     "vocab_matches",
     "search_tfidf",
     "bm25_topk",
+    "multi_field_bm25",
     "full_scan_search",
     "snippets",
     "search_with_snippets",

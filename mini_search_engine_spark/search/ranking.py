@@ -366,3 +366,19 @@ def bm25_topk(
         .limit(topk)
     )
     return out
+
+
+def bm25_scores(index: InvertedIndex, keywords: list[str]) -> DataFrame:
+    """UNRANKED exact BM25 → (docid, score) for every matching doc — the
+    composable form of ``bm25_topk`` (no ordering, no limit) used by
+    multi-field combination, where the top-k cut must happen AFTER the
+    per-field scores are summed."""
+    rows = _bm25_qvec(index, keywords)
+    if rows is None:
+        return _empty_scored(index)
+    raw = index.postings.filter(F.col("tid").isin([r[0] for r in rows]))
+    if index.compressed:
+        from dataclasses import replace as _rep
+
+        raw = _rep(index, postings=raw).decoded().postings
+    return _bm25_exact(raw, rows, index.avgdl)

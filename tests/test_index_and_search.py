@@ -628,3 +628,46 @@ def test_snippets_and_serving_page(spark):
     assert len(got) == 2
     assert all(r["snippet"] and ("[spark]" in r["snippet"] or "[merge]" in r["snippet"]) for r in got)
     assert got[0]["score"] >= got[1]["score"]
+
+
+def test_multi_field_bm25(spark):
+    """Path-field boost: a term in the (code-analyzed) path outranks the
+    same term buried in a longer body; weights reorder results."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.search import bm25_topk, multi_field_bm25
+
+    # (docid, path, body)
+    raw = [
+        (0, "src/index/FlushWriter.java", "unrelated body text entirely"),
+        (1, "src/util/Strings.java", "flush appears once in this longer body of words"),
+        (2, "docs/readme.md", "nothing relevant"),
+    ]
+
+    mk = lambda texts: load_corpus(
+        spark.createDataFrame(
+            [(d, t, "en", "t", 0) for d, t in texts],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    paths = mk([(r[0], r[1]) for r in raw])
+    bodies = mk([(r[0], r[2]) for r in raw])
+
+    idx_path = build_index(paths, analyzer="code")  # FlushWriter -> [flush, writer]
+    idx_body = build_index(bodies, analyzer="punct_nostem")
+
+    body_only = [r["docid"] for r in bm25_topk(idx_body, ["flush"], 3).collect()]
+    assert body_only == [1]  # body index alone can't see the path hit
+
+    combined = [
+        r["docid"]
+        for r in multi_field_bm25([(idx_path, 3.0), (idx_body, 1.0)], ["flush"], 3).collect()
+    ]
+    assert combined[0] == 0 and set(combined) == {0, 1}
+
+    # with the boost inverted toward the body, the body hit wins
+    flipped = [
+        r["docid"]
+        for r in multi_field_bm25([(idx_path, 0.1), (idx_body, 5.0)], ["flush"], 3).collect()
+    ]
+    assert flipped[0] == 1
