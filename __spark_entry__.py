@@ -251,6 +251,22 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_regex_search(spark, sf_dir):
+    """Trigram-pruned REGEX search (index/trigram.py regex_search — the
+    Cox/Google-Code-Search reduction): '(fast|slow) key order\\w*' has the
+    required literal ' key order'; its trigram AND prunes candidates, the
+    real regex verifies only those. The alternation contributes nothing to
+    pruning and everything to verification."""
+    from mini_search_engine_spark.index.trigram import (
+        build_trigram_index,
+        regex_search,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_trigram_index(docs)
+    return regex_search(idx, docs, r"(fast|slow) key order\w*")
+
+
 def q_suggest(spark, sf_dir):
     """Search-as-you-type: top-10 dictionary terms for prefix 's' by df
     (ties lexical). Termstats-sidecar only — corpus-size-independent."""
@@ -666,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "substring_search": q_substring_search,
         "fielded_bm25": q_fielded_bm25,
+        "regex_search": q_regex_search,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -832,6 +849,9 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    sqls["regex_search"] = r"""SELECT doc_id AS docid FROM documents
+WHERE regexp_matches(text, '(?i)(fast|slow) key order\w*') ORDER BY doc_id"""
 
     sqls["suggest"] = f"""WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok

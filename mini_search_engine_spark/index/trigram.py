@@ -164,3 +164,109 @@ def substring_search(
         .select("docid")
         .orderBy("docid")
     )
+
+
+def required_literals(pattern: str) -> list[str]:
+    """Literal substrings every match of ``pattern`` MUST contain —
+    the index-pruning step of regex search (Cox, "Regular Expression
+    Matching with a Trigram Index", the Google Code Search design:
+    reduce the regex to required trigrams, intersect posting lists,
+    run the real regex only on candidates).
+
+    Conservative by construction: walks the top-level concatenation (and
+    required subgroups / min≥1 repeats of them), accumulating maximal
+    LITERAL runs; anything uncertain (alternation, classes, optional
+    parts) just breaks the run — the result may be an under-approximation
+    but never claims a literal a match could lack. Lowercased to match
+    the (lowercased) trigram index."""
+    import re._parser as sre
+
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    def walk(items):
+        for op, arg in items:
+            name = str(op)
+            if name == "LITERAL":
+                cur.append(chr(arg).lower())
+            elif name == "SUBPATTERN":
+                # (group, add_flags, del_flags, items) — required in a
+                # concatenation, but its edges don't extend neighbors'
+                # runs (the group may match at a different offset class)
+                flush()
+                walk(arg[3])
+                flush()
+            elif name == "MAX_REPEAT" and arg[0] >= 1:
+                # x{1,}/x+ : ONE copy is required
+                flush()
+                walk(arg[2])
+                flush()
+            else:
+                flush()
+
+    walk(sre.parse(pattern))
+    flush()
+    return [r for r in runs if len(r) >= 3]
+
+
+def regex_search(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    content_col: str = "content",
+    max_grams: int = 8,
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Docids whose content matches ``pattern`` (case-insensitive).
+
+    Candidates come from the trigram AND over the grams of every REQUIRED
+    literal of the pattern (rarest-first, ≤ ``max_grams``); the exact
+    ``(?i)pattern`` regexp then runs only on candidates. A pattern with no
+    ≥3-char required literal cannot be index-pruned: it either raises
+    (default — at 100 TB an unprunable regex is a full-corpus scan someone
+    should have to say they meant) or, with ``allow_full_scan``, scans.
+
+    Note the verification regex runs under Java's engine (`rlike`), the
+    extraction under Python's parser — both interpret the common code-
+    search syntax (literals, classes, \\w/\\s, repeats, groups,
+    alternation) identically; exotic Python-only constructs will have
+    parsed, so extraction stays sound, but verification semantics follow
+    Java."""
+    lits = required_literals(pattern)
+    verify = F.col(content_col).rlike("(?i)" + pattern)
+    if not lits:
+        if not allow_full_scan:
+            raise ValueError(
+                f"pattern {pattern!r} has no >=3-char required literal; "
+                "pass allow_full_scan=True to regex-scan the corpus"
+            )
+        return docs.filter(verify).select("docid").orderBy("docid")
+
+    grams = sorted({g for lit in lits for g in _query_grams(lit)})
+    by_df = sorted(
+        (r["df"], r["tid"])
+        for r in index.gramstats.filter(
+            F.col("tid").isin([_gram_hash_py(g) for g in grams])
+        ).collect()
+    )
+    if len(by_df) < len(grams):  # some required gram occurs in no doc
+        return docs.sparkSession.range(0).select(F.col("id").alias("docid"))
+    tids = [t for _, t in by_df[:max_grams]]
+    cand = (
+        index.postings.filter(F.col("tid").isin(tids))
+        .select("tid", F.explode("docids").alias("docid"))
+        .groupBy("docid")
+        .agg(F.count_distinct("tid").alias("_ng"))
+        .filter(F.col("_ng") == len(tids))
+        .select("docid")
+    )
+    if by_df[0][0] <= 2_000_000:
+        cand = F.broadcast(cand)
+    return (
+        docs.join(cand, "docid", "semi").filter(verify).select("docid").orderBy("docid")
+    )

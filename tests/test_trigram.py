@@ -87,3 +87,29 @@ def test_verification_scan_is_candidate_pruned(corpus, tidx):
     # candidates (broadcast at this size) — not a full filter-only scan
     plan = substring_search(tidx, corpus, "flush seg")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_regex_search(corpus, tidx):
+    import re
+
+    from mini_search_engine_spark.index.trigram import regex_search, required_literals
+
+    def py_oracle(pat):
+        rx = re.compile(pat, re.IGNORECASE)
+        return sorted(
+            r["docid"] for r in corpus.collect() if r["content"] and rx.search(r["content"])
+        )
+
+    for pat in [r"flush\w*segment", r"(flush|xyzq) segment", r"flu\w+ shot", r"segment\s+path"]:
+        got = _ids(regex_search(tidx, corpus, pat))
+        assert got == py_oracle(pat), (pat, got)
+
+    # unprunable pattern: raises by default, scans when explicitly allowed
+    with pytest.raises(ValueError):
+        regex_search(tidx, corpus, r"\w+")
+    assert _ids(regex_search(tidx, corpus, r"f\w+h", allow_full_scan=True)) == py_oracle(r"f\w+h")
+
+    # extraction soundness corners: the optional 'c?' breaks the run ('ab'
+    # too short, 'xyz' survives); an alternation is never required
+    assert required_literals(r"abc?xyz") == ["xyz"]
+    assert required_literals(r"(foo|bar)") == []
