@@ -270,3 +270,42 @@ def regex_search(
     return (
         docs.join(cand, "docid", "semi").filter(verify).select("docid").orderBy("docid")
     )
+
+
+def write_trigram_index(index: TrigramIndex, path: str, mode: str = "overwrite") -> None:
+    """Persist postings tid-sorted within partitions (the same layout
+    rationale as ``index.build.write_index``: int gram-id predicates prune
+    Parquet row groups via column min/max stats) + the gramstats sidecar +
+    a tiny JSON meta."""
+    import json
+
+    from mini_search_engine_spark.index.build import _write_sidecar
+
+    (
+        index.postings.sortWithinPartitions("tid", "block")
+        .write.mode(mode)
+        .parquet(f"{path}/trigram_postings")
+    )
+    index.gramstats.sortWithinPartitions("tid").write.mode(mode).parquet(
+        f"{path}/trigram_stats"
+    )
+    _write_sidecar(
+        index.postings.sparkSession,
+        f"{path}/trigram_meta.json",
+        json.dumps({"block_span": index.block_span, "n_docs": index.n_docs}),
+        mode,
+    )
+
+
+def read_trigram_index(spark, path: str) -> TrigramIndex:
+    import json
+
+    from mini_search_engine_spark.index.build import _read_sidecar
+
+    meta = json.loads(_read_sidecar(spark, f"{path}/trigram_meta.json"))
+    return TrigramIndex(
+        postings=spark.read.parquet(f"{path}/trigram_postings"),
+        gramstats=spark.read.parquet(f"{path}/trigram_stats"),
+        block_span=meta["block_span"],
+        n_docs=meta["n_docs"],
+    )

@@ -113,3 +113,28 @@ def test_regex_search(corpus, tidx):
     # too short, 'xyz' survives); an alternation is never required
     assert required_literals(r"abc?xyz") == ["xyz"]
     assert required_literals(r"(foo|bar)") == []
+
+
+def test_trigram_index_roundtrip_and_pushdown(spark, corpus, tidx, tmp_path):
+    from mini_search_engine_spark.index.trigram import (
+        read_trigram_index,
+        substring_search,
+        write_trigram_index,
+    )
+
+    path = str(tmp_path / "tri")
+    write_trigram_index(tidx, path)
+    disk = read_trigram_index(spark, path)
+    assert disk.n_docs == tidx.n_docs and disk.block_span == tidx.block_span
+
+    for q in ["flush seg", "segment path", "not a flush"]:
+        assert _ids(substring_search(disk, corpus, q)) == _ids(
+            substring_search(tidx, corpus, q)
+        ), q
+
+    # the stored postings scan prunes on the int gram id (PushedFilters)
+    probed = disk.postings.filter(
+        F.col("tid").isin([_gram_hash_py("flu"), _gram_hash_py("seg")])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(tid" in plan, plan
