@@ -251,6 +251,14 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_did_you_mean(spark, sf_dir):
+    """Spell correction for the typo 'spakr': closest dictionary terms by
+    (edit distance, df desc). Vocab-sidecar only."""
+    from mini_search_engine_spark.search import did_you_mean
+
+    return did_you_mean(_index(spark, sf_dir), "spakr", max_edits=2, k=3)
+
+
 def q_regex_search(spark, sf_dir):
     """Trigram-pruned REGEX search (index/trigram.py regex_search — the
     Cox/Google-Code-Search reduction): '(fast|slow) key order\\w*' has the
@@ -683,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "fielded_bm25": q_fielded_bm25,
         "regex_search": q_regex_search,
+        "did_you_mean": q_did_you_mean,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -849,6 +858,12 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    sqls["did_you_mean"] = f"""WITH {_TOK},
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term, df, levenshtein(term, 'spakr')::BIGINT AS dist FROM v
+WHERE levenshtein(term, 'spakr') <= 2
+ORDER BY dist, df DESC, term LIMIT 3"""
 
     sqls["regex_search"] = r"""SELECT doc_id AS docid FROM documents
 WHERE regexp_matches(text, '(?i)(fast|slow) key order\w*') ORDER BY doc_id"""

@@ -16,6 +16,7 @@ from mini_search_engine_spark.search.expand import (
     search_fuzzy,
     search_prefix,
     suggest,
+    did_you_mean,
     search_wildcard,
     vocab_matches,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "search_wildcard",
     "search_fuzzy",
     "suggest",
+    "did_you_mean",
     "vocab_matches",
     "search_tfidf",
     "bm25_topk",

@@ -153,3 +153,25 @@ def suggest(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def did_you_mean(
+    index: InvertedIndex, keyword: str, max_edits: int = 2, k: int = 3
+) -> DataFrame:
+    """Spell correction: the top-``k`` dictionary terms within
+    ``max_edits`` Levenshtein edits of ``keyword``, ranked by (distance
+    asc, df desc, term asc) — closest first, popularity breaks ties. Pure
+    vocab-sidecar work (length prefilter + bounded JVM ``levenshtein``,
+    no UDF, postings untouched); → (term, df, dist)."""
+    q = _norm(keyword)
+    if not q:
+        raise ValueError("keyword must be non-empty after normalization")
+    dist = F.levenshtein(F.col("term"), F.lit(q), max_edits)
+    return (
+        index.termstats.filter(F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+        .withColumn("dist", dist)
+        .filter(F.col("dist").between(0, max_edits))
+        .select("term", "df", F.col("dist").cast("long").alias("dist"))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

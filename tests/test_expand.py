@@ -109,3 +109,13 @@ def test_suggest(spark, idx):
     assert "TakeOrderedAndProject" in executed, plan
     assert "Join" not in executed and "Explode" not in executed, plan
     assert "term" in scan_cols and "plist" not in scan_cols, plan
+
+
+def test_did_you_mean(spark, idx):
+    from mini_search_engine_spark.search import did_you_mean
+
+    got = [(r["term"], r["dist"]) for r in did_you_mean(idx, "cot", max_edits=1, k=3).collect()]
+    assert got[0] == ("cat", 1)  # closest, highest-df correction first
+    # an exact vocabulary hit ranks itself at distance 0
+    got = [(r["term"], r["dist"]) for r in did_you_mean(idx, "dog", max_edits=1, k=2).collect()]
+    assert got[0] == ("dog", 0)
