@@ -251,6 +251,29 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (search/hybrid.py): RRF fusion (k0=60) of BM25
+    top-20 for [spark, merge] with cosine top-20 around embedding 0
+    (embeddings ids are docids). Both input rankings use the rounded-
+    score + docid ordering so ranks are reproducible cross-engine."""
+    from mini_search_engine_spark.ops.ann import cosine_scores
+    from mini_search_engine_spark.search import rrf_fuse
+    from mini_search_engine_spark.search.ranking import bm25_scores
+
+    idx = _index(spark, sf_dir)
+    lex = _round_score(bm25_scores(idx, ["spark", "merge"]), k=20)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    vec = (
+        cosine_scores(emb, list(qv))
+        .withColumnRenamed("vec_id", "docid")
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy(F.desc("cosine"), F.asc("docid"))
+        .limit(20)
+    )
+    return rrf_fuse([(lex, "score"), (vec, "cosine")], topk=10)
+
+
 def q_did_you_mean(spark, sf_dir):
     """Spell correction for the typo 'spakr': closest dictionary terms by
     (edit distance, df desc). Vocab-sidecar only."""
@@ -692,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_bm25": q_fielded_bm25,
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
+        "hybrid_rrf": q_hybrid_rrf,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -858,6 +882,45 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    # RRF: ranks from the same rounded-score+id ordering on both sides
+    sqls["hybrid_rrf"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+qq(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+contrib AS (
+  SELECT tf.doc_id,
+         qq.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN qq USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, round(sum(sc), 6) AS score FROM contrib GROUP BY doc_id),
+lex20 AS (SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex20),
+qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+dv AS (
+  SELECT ev.vec_id AS doc_id,
+         round(sum(ev.v * qv.qv) / (sqrt(sum(ev.v * ev.v)) * sqrt(sum(qv.qv * qv.qv))), 6) AS c
+  FROM ev JOIN qv USING (i) GROUP BY ev.vec_id
+),
+vec20 AS (SELECT doc_id, c FROM dv ORDER BY c DESC, doc_id LIMIT 20),
+vec AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r FROM vec20),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM lex
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM vec),
+f AS (SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id)
+SELECT doc_id AS docid, rrf FROM f ORDER BY rrf DESC, docid LIMIT 10"""
 
     sqls["did_you_mean"] = f"""WITH {_TOK},
 v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)

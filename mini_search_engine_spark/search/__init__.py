@@ -21,6 +21,7 @@ from mini_search_engine_spark.search.expand import (
     vocab_matches,
 )
 from mini_search_engine_spark.search.fields import multi_field_bm25
+from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
 from mini_search_engine_spark.search.pagerank import pagerank, combined_search
@@ -41,6 +42,8 @@ __all__ = [
     "search_tfidf",
     "bm25_topk",
     "multi_field_bm25",
+    "rrf_fuse",
+    "hybrid_search",
     "full_scan_search",
     "snippets",
     "search_with_snippets",

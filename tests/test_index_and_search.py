@@ -671,3 +671,52 @@ def test_multi_field_bm25(spark):
         for r in multi_field_bm25([(idx_path, 0.1), (idx_body, 5.0)], ["flush"], 3).collect()
     ]
     assert flipped[0] == 1
+
+
+def test_hybrid_rrf(spark):
+    """RRF fusion vs a plain-python reference; a doc ranked mid-list by
+    BOTH retrievers beats docs that only one retriever found."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.search import hybrid_search, rrf_fuse
+
+    rows = [
+        (0, "spark merge spark merge spark", "en", "t", 0),  # lexical champion
+        (1, "spark merge and other words here", "en", "t", 0),  # both lists
+        (2, "unrelated text entirely", "en", "t", 0),  # vector champion
+        (3, "spark appears once", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    idx = build_index(docs, analyzer="punct_nostem")
+    # embeddings: doc 2 closest to the query vec, doc 1 second, others far
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.7, 0.7]), (2, [1.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    out = hybrid_search(idx, emb, ["spark", "merge"], [1.0, 0.0], k_each=3, topk=4)
+    got = [(r["docid"], r["rrf"]) for r in out.collect()]
+
+    # python reference: lex ranks (bm25 desc) = [0,1,3]; vec ranks = [2,1,0]
+    lex = {0: 1, 1: 2, 3: 3}
+    vec = {2: 1, 1: 2, 0: 3}
+    exp = {}
+    for d in set(lex) | set(vec):
+        exp[d] = round(
+            (1 / (60 + lex[d]) if d in lex else 0) + (1 / (60 + vec[d]) if d in vec else 0), 6
+        )
+    exp_order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == exp_order, (got, exp_order)
+    # a doc in BOTH lists (1: rank 2+2) outranks every doc in only one
+    # list (2: vec rank 1; 3: lex rank 3)
+    order = [d for d, _ in got]
+    assert order.index(1) < order.index(2) and order.index(1) < order.index(3)
+
+    # rrf_fuse with one ranking degenerates to that ranking's order
+    one = rrf_fuse([(out.select("docid", F.col("rrf").alias("score")), "score")], topk=2)
+    assert [r["docid"] for r in one.collect()] == [g[0] for g in got[:2]]
