@@ -251,6 +251,17 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_facets(spark, sf_dir):
+    """Faceted result counts (search/facets.py): per-(lang, source) match
+    counts for the keyword 'spark' — index prunes the match set, the
+    corpus is semi-joined down to it, one groupBy produces the UI strip."""
+    from mini_search_engine_spark.search import facet_counts
+
+    docs = load_documents(spark, sf_dir)
+    res = search_keyword(_index(spark, sf_dir), "spark")
+    return facet_counts(res, docs, ["lang", "source"])
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval (search/hybrid.py): RRF fusion (k0=60) of BM25
     top-20 for [spark, merge] with cosine top-20 around embedding 0
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
+        "facets": q_facets,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -882,6 +894,12 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    sqls["facets"] = f"""WITH {_TOK},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang, d.source ORDER BY n_docs DESC, lang, source"""
 
     # RRF: ranks from the same rounded-score+id ordering on both sides
     sqls["hybrid_rrf"] = f"""WITH {_TOK},

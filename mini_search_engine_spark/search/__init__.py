@@ -20,6 +20,7 @@ from mini_search_engine_spark.search.expand import (
     search_wildcard,
     vocab_matches,
 )
+from mini_search_engine_spark.search.facets import facet_counts
 from mini_search_engine_spark.search.fields import multi_field_bm25
 from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
 from mini_search_engine_spark.search.fullscan import full_scan_search
@@ -44,6 +45,7 @@ __all__ = [
     "multi_field_bm25",
     "rrf_fuse",
     "hybrid_search",
+    "facet_counts",
     "full_scan_search",
     "snippets",
     "search_with_snippets",

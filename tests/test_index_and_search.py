@@ -720,3 +720,29 @@ def test_hybrid_rrf(spark):
     # rrf_fuse with one ranking degenerates to that ranking's order
     one = rrf_fuse([(out.select("docid", F.col("rrf").alias("score")), "score")], topk=2)
     assert [r["docid"] for r in one.collect()] == [g[0] for g in got[:2]]
+
+
+def test_facet_counts(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.search import facet_counts, search_keyword
+
+    rows = [
+        (0, "spark things", "en", "web", 0),
+        (1, "spark stuff", "en", "web", 0),
+        (2, "spark more", "de", "web", 0),
+        (3, "nothing here", "en", "web", 0),
+        (4, "spark encore", "fr", "book", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+    idx = build_index(docs, analyzer="punct_nostem")
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(search_keyword(idx, "spark"), docs, ["lang"]).collect()
+    ]
+    assert got == [("en", 2), ("de", 1), ("fr", 1)]  # count desc, value asc
+    with pytest.raises(ValueError):
+        facet_counts(search_keyword(idx, "spark"), docs, [])
