@@ -251,6 +251,30 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_symbols(spark, sf_dir):
+    """Symbol extraction (ops/symbols.py): a python-style and a
+    class-style declaration derived per doc from its first 4 words;
+    regexp_extract_all pulls every declared identifier."""
+    from mini_search_engine_spark.ops import extract_symbols
+
+    docs = load_documents(spark, sf_dir)
+    w = F.split(F.col("content"), " ")
+
+    def cap(i):
+        t = F.element_at(w, i)
+        return F.concat(F.upper(F.substring(t, 1, 1)), F.expr(
+            f"substring(element_at(split(content, ' '), {i}), 2)"
+        ))
+
+    decl = F.concat_ws(
+        " ",
+        F.concat(F.lit("def "), F.element_at(w, 1), F.lit("_"), F.element_at(w, 2), F.lit("():")),
+        F.concat(F.lit("class "), cap(3), cap(4), F.lit(":")),
+        F.col("content"),
+    )
+    return extract_symbols(docs.withColumn("content", decl)).orderBy("docid", "symbol")
+
+
 def q_facets(spark, sf_dir):
     """Faceted result counts (search/facets.py): per-(lang, source) match
     counts for the keyword 'spark' — index prunes the match set, the
@@ -728,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
         "facets": q_facets,
+        "symbols": q_symbols,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -894,6 +919,23 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    sqls["symbols"] = r"""WITH cw AS (
+  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+),
+cd AS (
+  SELECT doc_id, concat_ws(' ',
+           'def ' || t[1] || '_' || t[2] || '():',
+           'class ' || upper(substr(t[3],1,1)) || substr(t[3],2)
+                    || upper(substr(t[4],1,1)) || substr(t[4],2) || ':',
+           text) AS content
+  FROM cw
+)
+SELECT doc_id AS docid,
+       unnest(regexp_extract_all(content,
+         '(?:def|fn|func|function|class|interface|enum|struct|trait|object)\s+([A-Za-z_][A-Za-z0-9_]*)',
+         1)) AS symbol
+FROM cd ORDER BY docid, symbol"""
 
     sqls["facets"] = f"""WITH {_TOK},
 m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')

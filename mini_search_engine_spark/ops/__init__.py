@@ -40,6 +40,11 @@ from mini_search_engine_spark.ops.pipeline import (
     repetition_scores,
     stratified_hash_sample,
 )
+from mini_search_engine_spark.ops.symbols import (
+    extract_symbols,
+    symbol_field,
+    symbol_search,
+)
 from mini_search_engine_spark.ops.textstats import (
     language_id,
     quality_scores,
@@ -49,6 +54,9 @@ from mini_search_engine_spark.ops.textstats import (
 )
 
 __all__ = [
+    "extract_symbols",
+    "symbol_field",
+    "symbol_search",
     "decontaminate",
     "duplicate_spans",
     "exact_dedup",

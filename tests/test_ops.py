@@ -399,3 +399,50 @@ def test_remove_duplicate_spans(spark):
     for r in out.values():
         kept = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert kept + r["removed_tokens"] == r["n_tokens"]
+
+
+def test_symbols_extraction_and_field_boost(spark):
+    import re
+
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.ops import extract_symbols, symbol_field, symbol_search
+    from mini_search_engine_spark.ops.symbols import SYMBOL_DEF_PATTERN
+    from mini_search_engine_spark.search import multi_field_bm25
+
+    rows = [
+        (0, "def flush_segment(): pass\nclass IndexWriter: pass", "py", "t", 0),
+        (1, "mentions flush_segment and IndexWriter without defining them", "en", "t", 0),
+        (2, "struct Posting { }; fn decode_block() {}", "rs", "t", 0),
+        (3, "no declarations at all", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+
+    syms = extract_symbols(docs)
+    got = sorted((r["docid"], r["symbol"]) for r in syms.collect())
+    # python-re reference on the same pattern
+    exp = sorted(
+        (d, m)
+        for d, t, *_ in rows
+        for m in re.findall(SYMBOL_DEF_PATTERN, t)
+    )
+    assert got == exp and (0, "IndexWriter") in got and (2, "Posting") in got
+
+    # go-to-definition: only doc 0 DECLARES IndexWriter (doc 1 just says it)
+    assert [r["docid"] for r in symbol_search(syms, "IndexWriter").collect()] == [0]
+    assert symbol_search(syms, "flush_segment").collect()[0]["docid"] == 0
+
+    # definitions outrank mentions via the symbol field boost
+    idx_sym = build_index(symbol_field(docs), analyzer="code")
+    idx_body = build_index(docs, analyzer="code")
+    top = [
+        r["docid"]
+        for r in multi_field_bm25(
+            [(idx_sym, 3.0), (idx_body, 1.0)], ["index", "writer"], 2
+        ).collect()
+    ]
+    assert top[0] == 0 and 1 in top
