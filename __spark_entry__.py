@@ -251,6 +251,16 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_more_like_this(spark, sf_dir):
+    """More-like-this for doc 0 (search/morelike.py): its 5 highest-tf·idf
+    terms drive a BM25 query, source excluded — one bounded collect + one
+    postings-pruned query, no doc-vector self-join."""
+    from mini_search_engine_spark.search import more_like_this
+
+    docs = load_documents(spark, sf_dir)
+    return more_like_this(_index(spark, sf_dir), docs, 0, k=10, max_terms=5)
+
+
 def q_symbols(spark, sf_dir):
     """Symbol extraction (ops/symbols.py): a python-style and a
     class-style declaration derived per doc from its first 4 words;
@@ -753,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "facets": q_facets,
         "symbols": q_symbols,
+        "more_like_this": q_more_like_this,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -919,6 +930,34 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    # MLT: doc 0's top-5 terms by round(tf·idf,6) (ties lexical) become
+    # unit-weight BM25 query terms; source excluded
+    sqls["more_like_this"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+mt AS (
+  SELECT tf.term FROM tf JOIN dfreq USING (term) CROSS JOIN gl
+  WHERE tf.doc_id = 0
+  ORDER BY round(tf.tf * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+           DESC, tf.term
+  LIMIT 5
+),
+q AS (SELECT term, 1.0 AS qw FROM mt),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, round(sum(sc), 6) AS score FROM contrib
+      WHERE doc_id <> 0 GROUP BY doc_id)
+SELECT doc_id AS docid, score FROM s ORDER BY score DESC, docid LIMIT 10"""
 
     sqls["symbols"] = r"""WITH cw AS (
   SELECT doc_id, string_split(text, ' ') AS t, text FROM documents

@@ -23,6 +23,7 @@ from mini_search_engine_spark.search.expand import (
 from mini_search_engine_spark.search.facets import facet_counts
 from mini_search_engine_spark.search.fields import multi_field_bm25
 from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
+from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
 from mini_search_engine_spark.search.pagerank import pagerank, combined_search
@@ -46,6 +47,8 @@ __all__ = [
     "rrf_fuse",
     "hybrid_search",
     "facet_counts",
+    "more_like_this",
+    "distinctive_terms",
     "full_scan_search",
     "snippets",
     "search_with_snippets",

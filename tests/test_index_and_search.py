@@ -746,3 +746,31 @@ def test_facet_counts(spark):
     assert got == [("en", 2), ("de", 1), ("fr", 1)]  # count desc, value asc
     with pytest.raises(ValueError):
         facet_counts(search_keyword(idx, "spark"), docs, [])
+
+
+def test_more_like_this(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.search import distinctive_terms, more_like_this
+
+    rows = [
+        (0, "zebra quagga zebra okapi common common common", "en", "t", 0),
+        (1, "zebra quagga okapi herd common", "en", "t", 0),  # shares the rare terms
+        (2, "common common common words only", "en", "t", 0),  # shares only the common one
+        (3, "entirely unrelated content common", "en", "t", 0),  # df(common)=4 -> near-zero idf
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+    idx = build_index(docs, analyzer="punct_nostem")
+
+    # distinctive terms of doc 0: rare 'zebra' (tf 2) outranks frequent 'common'
+    terms = distinctive_terms(idx, rows[0][1], max_terms=2)
+    assert terms[0] == "zebra" and "common" not in terms
+
+    out = [r["docid"] for r in more_like_this(idx, docs, 0, k=3, max_terms=3).collect()]
+    assert out[0] == 1  # the rare-term sharer is the most similar
+    assert 0 not in out  # source excluded
+    with pytest.raises(ValueError):
+        more_like_this(idx, docs, 999)
