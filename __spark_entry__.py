@@ -251,6 +251,27 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_import_rank(spark, sf_dir):
+    """File-dependency PageRank (ops/symbols.py import extraction →
+    module-name join → search/pagerank.py): each doc declares module
+    m<id> and imports two others; edges come from STRING extraction +
+    name resolution, not arithmetic — the real pipeline a repo corpus
+    needs for 'most-depended-on file' ranking."""
+    from mini_search_engine_spark.ops import import_edges
+
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    decl = F.concat(
+        F.lit("module m"), F.col("docid"),
+        F.lit(" import m"), (F.col("docid") * 7 + 3) % n,
+        F.lit(" import m"), (F.col("docid") * 13 + 5) % n,
+        F.lit(" "), F.col("content"),
+    )
+    edges = import_edges(docs.withColumn("content", decl))
+    pr = pagerank(edges, num_iter=5, nodes=docs.select("docid"))
+    return pr.select("docid", F.round("pagerank", 6).alias("pagerank")).orderBy("docid")
+
+
 def q_more_like_this(spark, sf_dir):
     """More-like-this for doc 0 (search/morelike.py): its 5 highest-tf·idf
     terms drive a BM25 query, source excluded — one bounded collect + one
@@ -764,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facets": q_facets,
         "symbols": q_symbols,
         "more_like_this": q_more_like_this,
+        "import_rank": q_import_rank,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -930,6 +952,47 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    # import-graph pagerank: edges from string extraction + module-name
+    # join (DISTINCT — unlike the synthetic id-graph, resolution dedups)
+    _imp_parts = [r"""
+nn AS (SELECT count(*) AS c FROM documents),
+cd AS (
+  SELECT doc_id,
+         'module m' || doc_id
+           || ' import m' || ((doc_id * 7 + 3) % c)
+           || ' import m' || ((doc_id * 13 + 5) % c)
+           || ' ' || text AS content
+  FROM documents, nn
+),
+imp AS (
+  SELECT doc_id AS src,
+         unnest(regexp_extract_all(content,
+           '(?:import|from|include|require|use)\s+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS tgt
+  FROM cd
+),
+decl AS (SELECT doc_id AS dst,
+                regexp_extract(content, 'module\s+([A-Za-z_][A-Za-z0-9_.]*)', 1) AS module
+         FROM cd),
+e AS (SELECT DISTINCT src, dst FROM imp JOIN decl ON imp.tgt = decl.module),
+odeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1.0::DOUBLE AS pr FROM documents)"""]
+    for _i in range(1, 6):
+        _imp_parts.append(f""",
+r{_i} AS (
+  SELECT d.doc_id AS id,
+         0.15 + 0.85 * coalesce(s.m, 0.0) AS pr
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst, sum(r{_i-1}.pr / odeg.od) AS m
+    FROM e JOIN r{_i-1} ON e.src = r{_i-1}.id JOIN odeg ON odeg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)""")
+    sqls["import_rank"] = (
+        "WITH " + "".join(_imp_parts)
+        + "\nSELECT id AS docid, round(pr, 6) AS pagerank FROM r5 ORDER BY docid"
+    )
 
     # MLT: doc 0's top-5 terms by round(tf·idf,6) (ties lexical) become
     # unit-weight BM25 query terms; source excluded

@@ -41,7 +41,9 @@ from mini_search_engine_spark.ops.pipeline import (
     stratified_hash_sample,
 )
 from mini_search_engine_spark.ops.symbols import (
+    extract_imports,
     extract_symbols,
+    import_edges,
     symbol_field,
     symbol_search,
 )
@@ -54,7 +56,9 @@ from mini_search_engine_spark.ops.textstats import (
 )
 
 __all__ = [
+    "extract_imports",
     "extract_symbols",
+    "import_edges",
     "symbol_field",
     "symbol_search",
     "decontaminate",

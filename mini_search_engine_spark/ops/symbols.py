@@ -58,3 +58,45 @@ def symbol_field(docs: DataFrame, content_col: str = "content") -> DataFrame:
         .groupBy("docid")
         .agg(F.array_join(F.collect_list("symbol"), " ").alias("content"))
     )
+
+
+# import/include/require/use + dotted identifier — same string for Spark
+# (Java), DuckDB (RE2), python-re
+IMPORT_PATTERN = r"(?:import|from|include|require|use)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+MODULE_PATTERN = r"module\s+([A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def extract_imports(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (docid, target): every import-statement target in the doc."""
+    tgts = F.regexp_extract_all(
+        F.coalesce(F.col(content_col), F.lit("")), F.lit(IMPORT_PATTERN), 1
+    )
+    return docs.select("docid", F.explode(tgts).alias("target"))
+
+
+def import_edges(
+    docs: DataFrame, content_col: str = "content", module_col: str | None = None
+) -> DataFrame:
+    """→ distinct (src, dst) dependency edges: src imports a name some dst
+    DECLARES (its ``module_col`` value, or its first ``module <name>``
+    declaration when None).
+
+    One extraction pass each side + ONE equi-join on the module name —
+    module names are near-unique so the join is skew-safe; a hub module
+    imported by millions of files is fan-IN (many src rows, distinct
+    (src,dst) pairs), which shuffles fine — never a bucket explosion."""
+    imp = extract_imports(docs, content_col)
+    if module_col is None:
+        decl = docs.select(
+            F.col("docid").alias("dst"),
+            F.regexp_extract(
+                F.coalesce(F.col(content_col), F.lit("")), MODULE_PATTERN, 1
+            ).alias("module"),
+        ).filter(F.col("module") != "")
+    else:
+        decl = docs.select(F.col("docid").alias("dst"), F.col(module_col).alias("module"))
+    return (
+        imp.join(decl, imp["target"] == decl["module"])
+        .select(F.col("docid").alias("src"), "dst")
+        .distinct()
+    )

@@ -446,3 +446,36 @@ def test_symbols_extraction_and_field_boost(spark):
         ).collect()
     ]
     assert top[0] == 0 and 1 in top
+
+
+def test_import_edges_and_rank(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import extract_imports, import_edges
+    from mini_search_engine_spark.search import pagerank
+
+    rows = [
+        (0, "module core import util import parser other words", "py", "t", 0),
+        (1, "module util use core", "py", "t", 0),
+        (2, "module parser include util include util", "py", "t", 0),  # dup import
+        (3, "module leaf from core", "py", "t", 0),
+        (4, "no module decl, mentions core without importing", "en", "t", 0),
+    ]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+
+    imps = {(r["docid"], r["target"]) for r in extract_imports(docs).collect()}
+    assert (0, "util") in imps and (0, "parser") in imps and (3, "core") in imps
+    assert not any(d == 4 for d, _ in imps)
+
+    edges = sorted((r["src"], r["dst"]) for r in import_edges(docs).collect())
+    # name resolution: util→1, parser→2, core→0; duplicates deduped
+    assert edges == [(0, 1), (0, 2), (1, 0), (2, 1), (3, 0)]
+
+    pr = {r["docid"]: r["pagerank"] for r in pagerank(
+        import_edges(docs), num_iter=20, nodes=docs.select("docid")).collect()}
+    # 'core' (doc 0) is imported by two files incl. a dedicated leaf -> top rank
+    assert pr[0] == max(pr.values())
+    assert pr[4] == min(pr.values())  # nothing imports doc 4
