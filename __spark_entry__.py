@@ -251,6 +251,13 @@ def q_substring_search(spark, sf_dir):
     return substring_search(idx, docs, "fast key order")
 
 
+def q_index_stats(spark, sf_dir):
+    """One-row index health report from the sidecar tables only."""
+    from mini_search_engine_spark.index.build import index_stats
+
+    return index_stats(_index(spark, sf_dir))
+
+
 def q_import_rank(spark, sf_dir):
     """File-dependency PageRank (ops/symbols.py import extraction →
     module-name join → search/pagerank.py): each doc declares module
@@ -786,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbols": q_symbols,
         "more_like_this": q_more_like_this,
         "import_rank": q_import_rank,
+        "index_stats": q_index_stats,
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
         "term_df": q_term_df,
@@ -952,6 +960,17 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY docid"""
     # substring containment, which IS the oracle
     sqls["substring_search"] = """SELECT doc_id AS docid FROM documents
 WHERE contains(lower(text), 'fast key order') ORDER BY doc_id"""
+
+    sqls["index_stats"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tl)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM dfreq)::BIGINT AS vocab_size,
+       (SELECT sum(df) FROM dfreq)::BIGINT AS total_postings,
+       (SELECT max(df) FROM dfreq)::BIGINT AS max_df,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       round((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl"""
 
     # import-graph pagerank: edges from string extraction + module-name
     # join (DISTINCT — unlike the synthetic id-graph, resolution dedups)

@@ -1205,3 +1205,22 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         positional=meta["positional"],
         compressed=meta["compressed"],
     )
+
+
+def index_stats(index: InvertedIndex) -> DataFrame:
+    """One-row index health report: (n_docs, vocab_size, total_postings,
+    max_df, total_tokens, avgdl) — the operational numbers (is the
+    dictionary exploding? is df skew extreme?) from the two SIDECAR
+    tables only; posting arrays are never touched."""
+    vocab = index.termstats.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("df").cast("long").alias("total_postings"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    toks = index.doclens.agg(F.sum(F.col("dl").cast("long")).alias("total_tokens"))
+    return (
+        vocab.crossJoin(toks)
+        .withColumn("n_docs", F.lit(index.n_docs).cast("long"))
+        .withColumn("avgdl", F.round(F.lit(index.avgdl), 6))
+        .select("n_docs", "vocab_size", "total_postings", "max_df", "total_tokens", "avgdl")
+    )

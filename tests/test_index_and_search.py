@@ -774,3 +774,15 @@ def test_more_like_this(spark):
     assert 0 not in out  # source excluded
     with pytest.raises(ValueError):
         more_like_this(idx, docs, 999)
+
+
+def test_index_stats(index):
+    from mini_search_engine_spark.index.build import index_stats
+
+    r = index_stats(index).collect()[0]
+    assert r["n_docs"] == 8
+    assert r["max_df"] == 5  # 'dog' in 5 docs (hand-derived fixture fact)
+    assert r["total_tokens"] == sum(
+        x["dl"] for x in index.doclens.collect()
+    ) and r["total_postings"] == sum(x["df"] for x in index.termstats.collect())
+    assert abs(r["avgdl"] - r["total_tokens"] / 8) < 1e-6
