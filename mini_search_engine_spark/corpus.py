@@ -246,3 +246,22 @@ def synthesize_source_corpus(
     )
     _ = rng_free
     return base.mapInPandas(gen, schema=schema)
+
+
+def write_corpus_partitioned(
+    docs: DataFrame, path: str, partition_cols: list[str] = ("lang",), mode: str = "overwrite"
+) -> None:
+    """Persist the canonicalized corpus Hive-partitioned by low-cardinality
+    input_hint columns (lang, source, …): a language-scoped build or
+    search then PRUNES whole directories at the scan (PartitionFilters),
+    which at a 10^12-file corpus is the difference between reading one
+    language's slice and listing everything. Keep partition columns
+    low-cardinality — partitioning by a high-cardinality column (repo)
+    would explode the file count; bucket or sort for those instead."""
+    docs.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def load_corpus_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a partitioned corpus; apply partition-column filters
+    BEFORE anything else so they reach the scan as PartitionFilters."""
+    return spark.read.parquet(path)
