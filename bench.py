@@ -157,6 +157,35 @@ def main():
     )
     timed("pagerank_10it", lambda: pagerank(edges, num_iter=10).count())
 
+    # ---- round-4 operators: timed the same way but reported under
+    # extra.extended and NOT summed into the headline value, so the suite
+    # total stays comparable across rounds ----
+    ext: dict[str, list[float]] = {}
+
+    def timed_ext(name, fn):
+        for _ in range(REPS):
+            t = time.time()
+            fn()
+            ext.setdefault(name, []).append(round(time.time() - t, 3))
+
+    from mini_search_engine_spark.index.trigram import (
+        build_trigram_index,
+        regex_search,
+        substring_search,
+    )
+    from mini_search_engine_spark.ops import duplicate_spans
+    from mini_search_engine_spark.search import suggest
+
+    t0 = time.time()
+    tri = build_trigram_index(docs)
+    tri.postings.count()
+    ext["trigram_build"] = [round(time.time() - t0, 3)]
+    timed_ext("substring_search", lambda: substring_search(tri, docs, "fast key order").count())
+    timed_ext("regex_search", lambda: regex_search(tri, docs, r"(fast|slow) key order\w*").count())
+    tri.unpersist()
+    timed_ext("duplicate_spans", lambda: duplicate_spans(docs, window=8).count())
+    timed_ext("suggest", lambda: suggest(idx, "s", 10).collect())
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",
@@ -176,6 +205,10 @@ def main():
             # box-noise evidence — compare max/min per query before reading
             # any cross-round delta as a regression
             "reps": {k: [round(x, 3) for x in v] for k, v in reps.items()},
+            # round-4 operators (min-of-reps would hide spread; raw reps):
+            # timed identically but excluded from the headline total so
+            # suite values stay comparable across rounds
+            "extended": ext,
         },
     }
     print(json.dumps(out))
