@@ -731,6 +731,16 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout): one hash exchange on
+    user_id, boundaries + ids via two window functions over the same
+    partition-local sort (ops/sessions.py)."""
+    from mini_search_engine_spark.ops import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30.0)
+
+
 def q_window_rank(spark, sf_dir):
     """Window-function coverage (§2.6): top-3 longest docs per lang via
     row_number over a partitioned ordered window."""
@@ -823,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition,
         "stratified_sample": q_strat_sample,
         "events_window": q_events_window,
+        "session_stats": q_session_stats,
         "window_rank": q_window_rank,
         "relational_agg": q_relational_agg,
     }
@@ -1614,6 +1625,27 @@ ORDER BY docid"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+    # gap-based sessionization: lag + running sum of boundary flags, exact
+    # integer microseconds on both engines (unix_micros / epoch_us)
+    sqls["session_stats"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT *,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       count(*)::BIGINT AS n_events,
+       floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000)::BIGINT AS duration_s,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"""
 
     sqls["window_rank"] = """
 WITH r AS (

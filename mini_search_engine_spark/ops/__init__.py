@@ -40,6 +40,7 @@ from mini_search_engine_spark.ops.pipeline import (
     repetition_scores,
     stratified_hash_sample,
 )
+from mini_search_engine_spark.ops.sessions import session_stats, sessionize
 from mini_search_engine_spark.ops.symbols import (
     extract_imports,
     extract_symbols,
@@ -57,6 +58,8 @@ from mini_search_engine_spark.ops.textstats import (
 
 __all__ = [
     "extract_imports",
+    "sessionize",
+    "session_stats",
     "extract_symbols",
     "import_edges",
     "symbol_field",

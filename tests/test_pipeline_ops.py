@@ -145,3 +145,73 @@ def test_pipeline_ops_no_shuffle(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (ops/sessions.py)
+
+
+def test_sessionize_hand_computed(spark):
+    """30-min gap splits exactly where expected; session_no counts from 1
+    per user in time order; singleton sessions have duration 0."""
+    from datetime import datetime
+
+    from mini_search_engine_spark.ops import session_stats, sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes, seconds=0):
+        return datetime(2024, 1, 1, minutes // 60, minutes % 60, seconds)
+
+    rows = [
+        # user 1: 3 events tight, 31-min gap, then 2 more
+        (0, at(0), 1, "view"),
+        (1, at(10), 1, "click"),
+        (2, at(20), 1, "view"),
+        (3, at(51), 1, "view"),  # 31 min > 30 → new session
+        (4, at(60), 1, "purchase"),
+        # user 2: exactly 30-min gap must NOT split (strict >)
+        (5, at(0), 2, "view"),
+        (6, at(30), 2, "view"),
+        # user 3: singleton
+        (7, at(5), 3, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    s = {
+        (r.user_id, r.event_id): r.session_no
+        for r in sessionize(ev, gap_minutes=30.0).collect()
+    }
+    assert s == {
+        (1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2,
+        (2, 5): 1, (2, 6): 1,
+        (3, 7): 1,
+    }
+
+    stats = {
+        (r.user_id, r.session_no): (r.n_events, r.duration_s, r.n_types)
+        for r in session_stats(ev, gap_minutes=30.0).collect()
+    }
+    assert stats == {
+        (1, 1): (3, 20 * 60, 2),
+        (1, 2): (2, 9 * 60, 2),
+        (2, 1): (2, 30 * 60, 1),
+        (3, 1): (1, 0, 1),
+    }
+    assert t0 == at(0)
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes and the session agg reuse ONE hash exchange on
+    user_id — the plan must contain exactly one Exchange."""
+    from mini_search_engine_spark.ops import session_stats
+
+    ev = spark.createDataFrame(
+        [(0, 1, "view")], "event_id long, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "timestamp'2024-01-01' as ts", "user_id", "event_type"
+    )
+    plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
