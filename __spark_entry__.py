@@ -741,6 +741,38 @@ def q_session_stats(spark, sf_dir):
     return session_stats(ev, gap_minutes=30.0)
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (ops/asof.py union-merge pattern, one exchange): every
+    event carries the user's most recent purchase at-or-before it.
+    Timestamps interleave within each user, so matches genuinely vary
+    through time (unlike a latest-row join)."""
+    from mini_search_engine_spark.ops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_purchase_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    res = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["last_purchase_id", "last_purchase_value"],
+        tie_break="last_purchase_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "last_purchase_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
 def q_window_rank(spark, sf_dir):
     """Window-function coverage (§2.6): top-3 longest docs per lang via
     row_number over a partitioned ordered window."""
@@ -834,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_strat_sample,
         "events_window": q_events_window,
         "session_stats": q_session_stats,
+        "asof_enrich": q_asof_enrich,
         "window_rank": q_window_rank,
         "relational_agg": q_relational_agg,
     }
@@ -1646,6 +1679,21 @@ SELECT user_id, session_no,
        floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000)::BIGINT AS duration_s,
        count(DISTINCT event_type)::BIGINT AS n_types
 FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no"""
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union-merge implementation; right side deduped per (key, ts) by max
+    # event_id exactly as ops.asof_join's tie_break pins it
+    sqls["asof_enrich"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS last_purchase_id, value AS last_purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       p.last_purchase_id,
+       round(p.last_purchase_value, 6) AS last_purchase_value
+FROM events e ASOF LEFT JOIN (SELECT * FROM p WHERE rn = 1) p
+  ON e.user_id = p.user_id AND e.ts >= p.ts"""
 
     sqls["window_rank"] = """
 WITH r AS (

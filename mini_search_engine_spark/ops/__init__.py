@@ -40,6 +40,7 @@ from mini_search_engine_spark.ops.pipeline import (
     repetition_scores,
     stratified_hash_sample,
 )
+from mini_search_engine_spark.ops.asof import asof_join
 from mini_search_engine_spark.ops.sessions import session_stats, sessionize
 from mini_search_engine_spark.ops.symbols import (
     extract_imports,
@@ -57,6 +58,7 @@ from mini_search_engine_spark.ops.textstats import (
 )
 
 __all__ = [
+    "asof_join",
     "extract_imports",
     "sessionize",
     "session_stats",

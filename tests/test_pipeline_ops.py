@@ -215,3 +215,100 @@ def test_sessionize_single_exchange(spark):
     plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# as-of join (ops/asof.py)
+
+
+def _asof_fixtures(spark):
+    from datetime import datetime
+
+    def at(m):
+        return datetime(2024, 1, 1, m // 60, m % 60)
+
+    left = spark.createDataFrame(
+        [
+            (0, 1, at(5)),    # before any quote → NULL
+            (1, 1, at(10)),   # exactly at quote q1 → inclusive match q1
+            (2, 1, at(25)),   # between q1(10) and q2(30) → q1
+            (3, 1, at(65)),   # after q2(30) → q2 (35 min back)
+            (4, 2, at(50)),   # user 2: only quote at 40 → q3
+            (5, 3, at(50)),   # user 3 has no quotes at all → NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, at(10), 100.0),
+            (11, 1, at(10), 111.0),  # same (key, ts): greater quote_id wins
+            (20, 1, at(30), 200.0),
+            (30, 2, at(40), 300.0),
+        ],
+        "quote_id long, user_id long, qts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_join_hand_computed(spark):
+    from mini_search_engine_spark.ops import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="qts",
+        payload=["quote_id", "price"], tie_break="quote_id",
+    )
+    got = {r.event_id: (r.quote_id, r.price) for r in out.collect()}
+    assert got == {
+        0: (None, None),
+        1: (11, 111.0),   # inclusive + tie-break to greatest quote_id
+        2: (11, 111.0),
+        3: (20, 200.0),
+        4: (30, 300.0),
+        5: (None, None),
+    }
+    assert out.count() == left.count()  # every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    from mini_search_engine_spark.ops import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="qts",
+        payload=["quote_id", "price"], tie_break="quote_id",
+        tolerance_s=20 * 60,
+    )
+    got = {r.event_id: r.quote_id for r in out.collect()}
+    # event 3 is 35 min after q2 → nulled by the 20-min tolerance;
+    # event 4 is 10 min after q3 → kept
+    assert got == {0: None, 1: 11, 2: 11, 3: None, 4: 30, 5: None}
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-merge as-of join must cost ONE hash exchange on the key —
+    no range join, no dedup pre-shuffle."""
+    from mini_search_engine_spark.ops import asof_join
+
+    left, right = _asof_fixtures(spark)
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="qts",
+        payload=["quote_id", "price"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_payload_collision_raises(spark):
+    import pytest as _pytest
+
+    from mini_search_engine_spark.ops import asof_join
+
+    left, right = _asof_fixtures(spark)
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left, right.withColumnRenamed("quote_id", "event_id"),
+            on="user_id", left_ts="ts", right_ts="qts",
+            payload=["event_id", "price"],
+        )
