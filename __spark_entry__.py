@@ -717,6 +717,23 @@ def q_strat_sample(spark, sf_dir):
     )
 
 
+EPOCH_WEIGHTS = {"en": 2.5, "de": 1.25, "zh": 1.0, "fr": 0.5}  # es → default 1.0
+
+
+def q_epoch_mix(spark, sf_dir):
+    """Training-mix up-sampling: each doc appears floor(w) + Bernoulli(frac(w))
+    times for its language's weight (ops.epoch_mix) — expected epochs == w,
+    deterministic via the shared 60-bit hash."""
+    from mini_search_engine_spark.ops import epoch_mix
+
+    docs = load_documents(spark, sf_dir)
+    return (
+        epoch_mix(docs, EPOCH_WEIGHTS, salt="mix-v2")
+        .select("docid", "lang", "epoch")
+        .orderBy("docid", "epoch")
+    )
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -803,6 +820,39 @@ def q_relational_agg(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (§2.6): per (flag, status), per
+    flag, and grand total in ONE pass — Catalyst expands the grouping
+    sets map-side, no extra shuffle per level."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    r = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").cast("long").alias("n"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+    # subtotal NULLs → 'ALL' (grouping_id disambiguates; also keeps the
+    # oracle hash comparator away from NULL-vs-str sort)
+    return r.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "sum_qty",
+        "n",
+        "lvl",
+    )
+
+
+def q_doclen_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of doc length per language —
+    corpus profiling for chunk-size / packing decisions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pcts = [0.25, 0.5, 0.75, 0.99]
+    qs = F.percentile("n_chars", F.lit(pcts))
+    return docs.groupBy("lang").agg(
+        *[F.round(F.element_at(qs, i + 1), 6).alias(f"p{int(p * 100)}") for i, p in enumerate(pcts)],
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return q_bm25(spark, "/root/testdata/sf0.001")
@@ -864,11 +914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_scores": q_repetition,
         "stratified_sample": q_strat_sample,
+        "epoch_mix": q_epoch_mix,
         "events_window": q_events_window,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "window_rank": q_window_rank,
         "relational_agg": q_relational_agg,
+        "rollup_agg": q_rollup_agg,
+        "doclen_percentiles": q_doclen_percentiles,
     }
 
 
@@ -1654,6 +1707,25 @@ FROM documents
 WHERE {_hash60("'mix-v1|' || doc_id::VARCHAR")} % 1000000 < {_strat_thresh}
 ORDER BY docid"""
 
+    # epoch mixing: n_copies = floor(w) + (hash < frac(w)); generated from
+    # the same EPOCH_WEIGHTS dict the Spark entry uses (default weight 1.0)
+    _w_int = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {int(v)}" for k, v in sorted(EPOCH_WEIGHTS.items())
+    ) + " ELSE 1 END"
+    _w_frac = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {int(round((v - int(v)) * 1_000_000))}"
+        for k, v in sorted(EPOCH_WEIGHTS.items())
+    ) + " ELSE 0 END"
+    sqls["epoch_mix"] = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         ({_w_int}) + (CASE WHEN {_hash60("'mix-v2|' || doc_id::VARCHAR")} % 1000000
+                            < ({_w_frac}) THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT doc_id AS docid, lang, unnest(range(n))::BIGINT AS epoch
+FROM c WHERE n > 0 ORDER BY docid, epoch"""
+
     sqls["events_window"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -1694,6 +1766,23 @@ SELECT e.event_id, e.user_id, e.event_type,
        round(p.last_purchase_value, 6) AS last_purchase_value
 FROM events e ASOF LEFT JOIN (SELECT * FROM p WHERE rn = 1) p
   ON e.user_id = p.user_id AND e.ts >= p.ts"""
+
+    sqls["rollup_agg"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*)::BIGINT AS n,
+       grouping_id(l_returnflag, l_linestatus)::BIGINT AS lvl
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+    sqls["doclen_percentiles"] = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang"""
 
     sqls["window_rank"] = """
 WITH r AS (

@@ -35,6 +35,7 @@ from mini_search_engine_spark.ops.chunk import (
     pack_sequences,
 )
 from mini_search_engine_spark.ops.pipeline import (
+    epoch_mix,
     hash_sample,
     pii_redact,
     repetition_scores,
@@ -93,6 +94,7 @@ __all__ = [
     "pii_redact",
     "repetition_scores",
     "stratified_hash_sample",
+    "epoch_mix",
     "language_id",
     "quality_scores",
     "token_counts",

@@ -181,3 +181,44 @@ def stratified_hash_sample(
     for k, v in sorted(rates.items()):
         thresh = F.when(F.col(strat_col) == k, F.lit(int(v * _MOD))).otherwise(thresh)
     return docs.filter(_sample_hash(F.col(id_col), salt) < thresh)
+
+
+def epoch_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strat_col: str = "lang",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+    id_col: str = "docid",
+) -> DataFrame:
+    """Weighted dataset mixing with UP-sampling: a stratum with weight w
+    contributes each doc floor(w) times, plus one more with probability
+    frac(w) — so the expected epoch count of every doc is exactly its
+    stratum weight (the standard training-mix "epochs per source" knob;
+    weights < 1 degrade to stratified sampling, weights > 1 repeat data).
+
+    Deterministic: the fractional copy reuses the 60-bit (salt, docid)
+    hash threshold, so the mix is reproducible across runs, engines, and
+    partitionings, and nested in the same way as ``hash_sample``.
+
+    Output: input rows + ``epoch`` (0-based copy index). Per-row compute:
+    a chained-CASE weight lookup, one hash, one ``explode(sequence)`` —
+    no shuffle, no join; row expansion is the output size itself, which
+    is the irreducible cost of up-sampling."""
+    w_int = F.lit(int(default_weight))
+    w_frac = F.lit(int((default_weight - int(default_weight)) * _MOD))
+    for k, v in sorted(weights.items()):
+        w_int = F.when(F.col(strat_col) == k, F.lit(int(v))).otherwise(w_int)
+        w_frac = F.when(
+            F.col(strat_col) == k, F.lit(int(round((v - int(v)) * _MOD)))
+        ).otherwise(w_frac)
+    n_copies = w_int + F.when(
+        _sample_hash(F.col(id_col), salt) < w_frac, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

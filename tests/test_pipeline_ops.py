@@ -312,3 +312,43 @@ def test_asof_join_payload_collision_raises(spark):
             on="user_id", left_ts="ts", right_ts="qts",
             payload=["event_id", "price"],
         )
+
+
+# ---------------------------------------------------------------------------
+# weighted epoch mixing (ops/pipeline.py epoch_mix)
+
+
+def test_epoch_mix_matches_python_reference(spark):
+    from mini_search_engine_spark.ops import epoch_mix
+
+    rows = [(i, "x", ["en", "de", "fr"][i % 3]) for i in range(900)]
+    docs = spark.createDataFrame(rows, "docid long, content string, lang string")
+    weights = {"en": 2.5, "de": 1.0, "fr": 0.25}
+    out = sorted(
+        (r.docid, r.epoch) for r in epoch_mix(docs, weights, salt="m").collect()
+    )
+
+    def n_copies(i, lang):
+        w = weights[lang]
+        return int(w) + (1 if _py_hash_bucket("m", i) < round((w - int(w)) * 1e6) else 0)
+
+    exp = sorted(
+        (i, e) for i, _, lang in rows for e in range(n_copies(i, lang))
+    )
+    assert out == exp
+    # expected-epoch property: per-lang mean copy count ≈ its weight
+    from collections import Counter as _C
+
+    per_doc = _C(d for d, _ in out)
+    en_mean = sum(per_doc[i] for i in range(0, 900, 3)) / 300
+    assert 2.3 < en_mean < 2.7
+    # de weight 1.0 → exactly one copy each, epoch always 0
+    assert all(per_doc[i] == 1 for i in range(1, 900, 3))
+
+
+def test_epoch_mix_no_shuffle(spark):
+    from mini_search_engine_spark.ops import epoch_mix
+
+    docs = spark.createDataFrame([(0, "x", "en")], "docid long, content string, lang string")
+    plan = epoch_mix(docs, {"en": 1.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
