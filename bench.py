@@ -186,6 +186,29 @@ def main():
     timed_ext("duplicate_spans", lambda: duplicate_spans(docs, window=8).count())
     timed_ext("suggest", lambda: suggest(idx, "s", 10).collect())
 
+    from mini_search_engine_spark.ops import asof_join, epoch_mix, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    ev.count()
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("p_id"), F.col("value").alias("p_value"),
+    )
+    timed_ext("session_stats", lambda: session_stats(ev).count())
+    timed_ext(
+        "asof_join",
+        lambda: asof_join(
+            ev.select("event_id", "user_id", "ts"), purch,
+            on="user_id", left_ts="ts", right_ts="ts",
+            payload=["p_id", "p_value"], tie_break="p_id",
+        ).count(),
+    )
+    ev.unpersist()
+    timed_ext(
+        "epoch_mix",
+        lambda: epoch_mix(docs, {"en": 2.5, "de": 1.25, "fr": 0.5}).count(),
+    )
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",
