@@ -16,6 +16,7 @@ from mini_search_engine_spark.streaming.ingest import (
     num_segments,
     read_segmented_index,
     streaming_exact_dedup,
+    session_event_counts,
     windowed_event_counts,
     write_segment,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "read_segmented_index",
     "read_snapshot",
     "streaming_exact_dedup",
+    "session_event_counts",
     "windowed_event_counts",
     "write_segment",
 ]

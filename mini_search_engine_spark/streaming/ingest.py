@@ -423,3 +423,47 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation via the native ``F.session_window`` —
+    the STREAMING counterpart of ``ops.sessionize``: data-driven windows
+    that merge a user's events whose inter-event gaps stay under ``gap``,
+    with watermarked late-data handling and incremental state when run on
+    a stream (works on batch frames too, same plan shape).
+
+    Boundary semantics vs ``ops.sessionize``: a session window spans
+    [first_ts, last_ts + gap), end-exclusive, so an event arriving
+    EXACTLY ``gap`` after the previous one starts a new session here but
+    extends the session in ``sessionize`` (strict >). Identical for any
+    event stream without exact-boundary timestamps.
+    """
+    src = events
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (not NTZ) event time
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # count_distinct is not allowed on streams; collect_set is, and
+            # per-session type cardinality is tiny (bounded by the type vocab)
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_types",
+        )
+    )

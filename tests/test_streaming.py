@@ -333,3 +333,72 @@ def test_snapshot_commit_protocol(spark, tmp_path):
     assert current_snapshot(spark, idxp).snapshot_id == 1
     for s in segs:
         s.unpersist()
+
+
+def test_session_event_counts_matches_sessionize(spark, sf_dir):
+    """Native session_window (streaming op) and the batch lag/running-sum
+    sessionize must carve IDENTICAL sessions on real event data: same
+    per-user session count, and each session's [min ts, max ts + gap)
+    equals the window bounds."""
+    from mini_search_engine_spark.ops import sessionize
+    from mini_search_engine_spark.streaming import session_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["n_types"],
+        )
+        for r in session_event_counts(ev, gap="30 minutes").collect()
+    }
+    exp_rows = (
+        sessionize(ev, gap_minutes=30.0)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("mx"),
+            F.count("*").alias("n"),
+            F.count_distinct("event_type").alias("t"),
+        )
+        .collect()
+    )
+    from datetime import timedelta
+
+    exp = {
+        (r["user_id"], r["start"]): (r["mx"] + timedelta(minutes=30), r["n"], r["t"])
+        for r in exp_rows
+    }
+    assert got == exp and len(got) > 20
+
+
+def test_session_event_counts_streaming(spark, tmp_path, sf_dir):
+    from mini_search_engine_spark.streaming import session_event_counts
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = session_event_counts(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["n_types"])
+        for r in spark.sql("select * from ev_sess").collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["n_types"])
+        for r in session_event_counts(ev_batch, gap="30 minutes").collect()
+    }
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must match the batch computation exactly
+    assert got, "streaming produced no closed sessions"
+    for k, v in got.items():
+        assert exp[k] == v
