@@ -409,6 +409,33 @@ def q_bm25_fused_cold(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+BM25_BATCH = {
+    "qa": ["spark", "merge"],
+    "qb": ["filter", "join", "scan"],
+    "qc": ["fast", "key", "order"],
+    "qd": ["zzzunseen"],  # absent term → contributes no rows
+}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batched multi-query BM25 (search/ranking.py bm25_topk_batch): all
+    four queries scored in ONE job — union-tid postings scan + broadcast
+    (qid, tid, w) join + per-qid window top-k. Scores must equal the
+    per-query bm25_topk path (and DuckDB) exactly."""
+    from pyspark.sql import Window
+
+    from mini_search_engine_spark.search import bm25_topk_batch
+
+    raw = bm25_topk_batch(_index(spark, sf_dir), BM25_BATCH, topk=50)
+    r = raw.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        r.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
 def q_doc_deletes_bm25(spark, sf_dir):
     """Doc-level merge-on-read deletes (index/deletes.py — the Iceberg
     equality-delete analog the reference lacks): tombstone every docid ≡ 3
@@ -871,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "tfidf_topk": q_tfidf,
         "bm25_topk": q_bm25,
+        "bm25_batch": q_bm25_batch,
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
@@ -1334,6 +1362,12 @@ SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 
     sqls["bm25_topk"] = _bm25_sql(["spark", "merge"])
+    sqls["bm25_batch"] = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, docid, score,\n"
+        f"       row_number() OVER (ORDER BY score DESC, docid)::BIGINT AS rank\n"
+        f"FROM ({_bm25_sql(terms)})"
+        for qid, terms in sorted(BM25_BATCH.items())
+    )
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
     sqls["doc_deletes_bm25"] = _bm25_sql(["spark", "merge"], doc_where="doc_id % 7 <> 3")

@@ -209,6 +209,28 @@ def main():
         lambda: epoch_mix(docs, {"en": 2.5, "de": 1.25, "fr": 0.5}).count(),
     )
 
+    # batched multi-query BM25: 16 queries in one job vs 16 waves —
+    # report the batch wall AND the per-query sequential wall for the
+    # same query set so the JSON carries the amortization evidence
+    from mini_search_engine_spark.search import bm25_topk_batch
+
+    _batch_terms = [
+        ["spark", "merge"], ["filter", "join"], ["scan", "index"],
+        ["fast", "key"], ["order", "by"], ["group", "agg"],
+        ["read", "write"], ["cache", "memory"], ["disk", "spill"],
+        ["hash", "sort"], ["code", "gen"], ["plan", "cost"],
+        ["row", "column"], ["batch", "stream"], ["table", "view"],
+        ["query", "result"],
+    ]
+    batch_q = {f"q{i}": t for i, t in enumerate(_batch_terms)}
+    timed_ext("bm25_batch16", lambda: bm25_topk_batch(idx, batch_q, 10).collect())
+
+    def _seq16():
+        for t in _batch_terms:
+            bm25_topk(idx, t, 10).collect()
+
+    timed_ext("bm25_seq16", _seq16)
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",

@@ -11,6 +11,7 @@ from mini_search_engine_spark.search.boolean import (
 from mini_search_engine_spark.search.ranking import (
     search_tfidf,
     bm25_topk,
+    bm25_topk_batch,
 )
 from mini_search_engine_spark.search.expand import (
     search_fuzzy,
@@ -43,6 +44,7 @@ __all__ = [
     "vocab_matches",
     "search_tfidf",
     "bm25_topk",
+    "bm25_topk_batch",
     "multi_field_bm25",
     "rrf_fuse",
     "hybrid_search",

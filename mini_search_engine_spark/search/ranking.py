@@ -382,3 +382,68 @@ def bm25_scores(index: InvertedIndex, keywords: list[str]) -> DataFrame:
 
         raw = _rep(index, postings=raw).decoded().postings
     return _bm25_exact(raw, rows, index.avgdl)
+
+
+def bm25_topk_batch(
+    index: InvertedIndex, queries: dict[str, list[str]], topk: int = 10
+) -> DataFrame:
+    """Exact BM25 top-k for a BATCH of queries in ONE scoring job →
+    (qid, docid, score, rank), scores identical to per-query ``bm25_topk``.
+
+    Serving latency on this engine is stage-WAVE-bound, not scan-bound
+    (BENCH/SERVING.md): N sequential ``bm25_topk`` calls pay N driver
+    round trips + N scheduling waves even when each scan is tiny. Batch
+    scoring amortizes all of it: postings are filtered ONCE to the union
+    of every query's term ids (one int-IN pushdown scan, each posting
+    block decoded once even when queries share terms), the per-(qid, tid)
+    weights join in as ONE small broadcast (amortized over the whole
+    batch — the chained-CASE-literal trick bm25_topk uses per query
+    cannot scale to hundreds of queries' worth of CASE arms), and the
+    per-query top-k is a single window pass partitioned by qid. The
+    offline path for relevance eval sets, query-log replays, and bulk
+    re-ranking; interactive single queries stay on ``bm25_topk``.
+    """
+    qvecs: dict[str, Counter] = {}
+    all_terms: set[str] = set()
+    for qid, kws in queries.items():
+        counts = _analyzed_with_counts(index, kws)
+        qvecs[qid] = counts
+        all_terms |= set(counts)
+    spark = index.postings.sparkSession
+    dfm = _df_map(index, sorted(all_terms)) if all_terms else {}
+    rows = [
+        (qid, term_id_py(t), float(c) * _bm25_idf(index.n_docs, dfm[t]))
+        for qid, counts in qvecs.items()
+        for t, c in counts.items()
+        if dfm.get(t)
+    ]
+    if not rows:
+        return spark.range(0).select(
+            F.lit("").alias("qid"),
+            F.col("id").alias("docid"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
+    qdf = spark.createDataFrame(rows, "qid string, tid long, w double")
+    raw = index.postings.filter(
+        F.col("tid").isin(sorted({tid for _, tid, _ in rows}))
+    )
+    if index.compressed:
+        from dataclasses import replace as _rep
+
+        raw = _rep(index, postings=raw).decoded().postings
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / index.avgdl)
+    scored = (
+        _exploded(raw)
+        .join(F.broadcast(qdf), "tid")
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("w") * (F.col("tf") * (K1 + 1.0)) / denom).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "docid", "score", "rank")
+    )

@@ -786,3 +786,48 @@ def test_index_stats(index):
         x["dl"] for x in index.doclens.collect()
     ) and r["total_postings"] == sum(x["df"] for x in index.termstats.collect())
     assert abs(r["avgdl"] - r["total_tokens"] / 8) < 1e-6
+
+
+def test_bm25_topk_batch_matches_per_query(spark, index):
+    """Batch scoring must be score- and rank-identical to N separate
+    bm25_topk calls, while spending strictly fewer Spark jobs than the
+    sequential protocol (the whole point: one wave for the batch)."""
+    from mini_search_engine_spark.search import bm25_topk_batch
+
+    queries = {
+        "q_cat": ["cat", "dog"],
+        "q_ir": ["information", "retrieval"],
+        "q_fox": ["quick", "fox"],
+        "q_none": ["zzznope"],
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("bm25-batch", "batch")
+    got = bm25_topk_batch(index, queries, topk=5).collect()
+    sc.setJobGroup(None, None)
+    jobs_batch = len(tracker.getJobIdsForGroup("bm25-batch"))
+
+    by_qid: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append((r["docid"], round(r["score"], 9)))
+
+    sc.setJobGroup("bm25-seq", "sequential")
+    exp = {
+        qid: [
+            (r["docid"], round(r["score"], 9))
+            for r in bm25_topk(index, kws, 5).collect()
+        ]
+        for qid, kws in queries.items()
+    }
+    sc.setJobGroup(None, None)
+    jobs_seq = len(tracker.getJobIdsForGroup("bm25-seq"))
+
+    assert by_qid.get("q_cat") == exp["q_cat"] and len(exp["q_cat"]) > 1
+    assert by_qid.get("q_ir") == exp["q_ir"]
+    assert by_qid.get("q_fox") == exp["q_fox"]
+    assert "q_none" not in by_qid and exp["q_none"] == []
+    # ranks are 1..k dense per qid
+    assert [r["rank"] for r in sorted(got, key=lambda r: (r["qid"], r["rank"]))
+            if r["qid"] == "q_cat"] == list(range(1, len(by_qid["q_cat"]) + 1))
+    assert jobs_batch < jobs_seq, (jobs_batch, jobs_seq)
