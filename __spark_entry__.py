@@ -138,6 +138,28 @@ def q_near(spark, sf_dir):
     return search_near(_index(spark, sf_dir, positional=True), ["spark", "merge"], slop=3)
 
 
+def q_boolean_query(spark, sf_dir):
+    """Composable boolean query language (search/querylang.py): the whole
+    nested expression — OR group, positional-phrase leaf, NOT — evaluates
+    in ONE pruned postings scan + ONE aggregate (presence-set compile to
+    a single Catalyst predicate; no join for positive queries)."""
+    from mini_search_engine_spark.search import search_query
+
+    return search_query(
+        _index(spark, sf_dir, positional=True),
+        '(spark OR merge) AND "fast key" AND NOT scan',
+    )
+
+
+def q_boolean_query_universe(spark, sf_dir):
+    """Top-level NOT — the one query shape whose result can include docs
+    containing none of the query's terms, so the doc universe (doclens
+    sidecar) joins in; positive queries never pay that join."""
+    from mini_search_engine_spark.search import search_query
+
+    return search_query(_index(spark, sf_dir), "NOT spark AND NOT merge")
+
+
 def q_prefix_search(spark, sf_dir):
     """Dictionary-expansion query (search/expand.py): docs containing any
     indexed term starting with 'par' (partition, parquet, page, …). The
@@ -893,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "near_search": q_near,
+        "boolean_query": q_boolean_query,
+        "boolean_query_universe": q_boolean_query_universe,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "fuzzy_search": q_fuzzy_search,
@@ -1308,6 +1332,28 @@ p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos F
 SELECT DISTINCT a.doc_id AS docid
 FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
 WHERE a.term = 'spark' AND b.term = 'merge' ORDER BY docid"""
+
+    # boolean query language: set algebra over the same tokenization —
+    # INTERSECT binds tighter than EXCEPT in DuckDB, matching the query's
+    # (spark OR merge) AND "fast key" AND NOT scan nesting
+    sqls["boolean_query"] = f"""WITH {_TL},
+p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT docid FROM (
+  SELECT DISTINCT doc_id AS docid FROM p WHERE term IN ('spark', 'merge')
+  INTERSECT
+  SELECT DISTINCT a.doc_id FROM p a
+  JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'key'
+  EXCEPT
+  SELECT DISTINCT doc_id FROM p WHERE term = 'scan'
+) ORDER BY docid"""
+
+    sqls["boolean_query_universe"] = f"""WITH {_TOK}
+SELECT docid FROM (
+  SELECT doc_id AS docid FROM documents
+  EXCEPT
+  SELECT doc_id FROM tok WHERE term IN ('spark', 'merge')
+) ORDER BY docid"""
 
     sqls["prefix_search"] = f"""WITH {_TOK}
 SELECT DISTINCT doc_id AS docid FROM tok WHERE term LIKE 'par%' ORDER BY docid"""

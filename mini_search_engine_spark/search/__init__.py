@@ -13,6 +13,11 @@ from mini_search_engine_spark.search.ranking import (
     bm25_topk,
     bm25_topk_batch,
 )
+from mini_search_engine_spark.search.querylang import (
+    parse_query,
+    search_query,
+    QuerySyntaxError,
+)
 from mini_search_engine_spark.search.expand import (
     search_fuzzy,
     search_prefix,
@@ -45,6 +50,9 @@ __all__ = [
     "search_tfidf",
     "bm25_topk",
     "bm25_topk_batch",
+    "parse_query",
+    "search_query",
+    "QuerySyntaxError",
     "multi_field_bm25",
     "rrf_fuse",
     "hybrid_search",
