@@ -458,6 +458,19 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
+def q_bm25_page2(spark, sf_dir):
+    """Keyset pagination (search/ranking.py bm25_page): page 2 of 5 is
+    fetched THROUGH the search_after cursor taken from page 1's last row
+    (a bounded 5-row collect), never via OFFSET — per-page cost stays
+    constant in page depth. Oracle = rows ranked 6-10 of the same BM25."""
+    from mini_search_engine_spark.search import bm25_page
+
+    idx = _index(spark, sf_dir)
+    page1 = bm25_page(idx, ["spark", "merge"], page_size=5).collect()
+    cursor = (page1[-1]["score"], page1[-1]["docid"])
+    return _round_score(bm25_page(idx, ["spark", "merge"], 5, after=cursor))
+
+
 def q_doc_deletes_bm25(spark, sf_dir):
     """Doc-level merge-on-read deletes (index/deletes.py — the Iceberg
     equality-delete analog the reference lacks): tombstone every docid ≡ 3
@@ -923,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf,
         "bm25_topk": q_bm25,
         "bm25_batch": q_bm25_batch,
+        "bm25_page2": q_bm25_page2,
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
@@ -1413,6 +1427,12 @@ FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
         f"       row_number() OVER (ORDER BY score DESC, docid)::BIGINT AS rank\n"
         f"FROM ({_bm25_sql(terms)})"
         for qid, terms in sorted(BM25_BATCH.items())
+    )
+    # page 2 of 5 = ranked rows 6-10; DuckDB expresses the keyset cursor's
+    # result set as LIMIT/OFFSET over the identical (score DESC, docid)
+    # ordering — the cursor-vs-offset distinction is a COST property
+    sqls["bm25_page2"] = _bm25_sql(["spark", "merge"], k=10).replace(
+        "LIMIT 10", "LIMIT 5 OFFSET 5"
     )
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])

@@ -12,6 +12,7 @@ from mini_search_engine_spark.search.ranking import (
     search_tfidf,
     bm25_topk,
     bm25_topk_batch,
+    bm25_page,
 )
 from mini_search_engine_spark.search.querylang import (
     parse_query,
@@ -50,6 +51,7 @@ __all__ = [
     "search_tfidf",
     "bm25_topk",
     "bm25_topk_batch",
+    "bm25_page",
     "parse_query",
     "search_query",
     "QuerySyntaxError",

@@ -384,6 +384,37 @@ def bm25_scores(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     return _bm25_exact(raw, rows, index.avgdl)
 
 
+def bm25_page(
+    index: InvertedIndex,
+    keywords: list[str],
+    page_size: int = 10,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Keyset pagination over exact BM25 (the ``search_after`` contract):
+    page rows strictly after cursor ``after=(score, docid)`` in
+    (score DESC, docid ASC) order → (docid, score), page-ordered.
+
+    Deep paging with OFFSET forces every executor to rank ``offset +
+    page_size`` rows and the driver to discard ``offset`` of them — at
+    page 1000 that is 1000× the work of page 1. The keyset cursor keeps
+    the per-page cost CONSTANT in page depth: the cursor predicate
+    filters before the top-k, so the plan stays one scoring pass + a
+    ``TakeOrderedAndProject`` of exactly ``page_size`` rows per
+    partition, regardless of how deep the caller has paged. Scores are
+    deterministic for a fixed index, so the float-equality tie-break on
+    docid is exact across pages (same guarantee Elasticsearch's
+    ``search_after`` documents). Page 1 = ``after=None``; the caller
+    passes the last row of each page as the next cursor.
+    """
+    scores = bm25_scores(index, keywords)
+    if after is not None:
+        s, d = after
+        scores = scores.filter(
+            (F.col("score") < s) | ((F.col("score") == s) & (F.col("docid") > d))
+        )
+    return scores.orderBy(F.desc("score"), F.asc("docid")).limit(page_size)
+
+
 def bm25_topk_batch(
     index: InvertedIndex, queries: dict[str, list[str]], topk: int = 10
 ) -> DataFrame:

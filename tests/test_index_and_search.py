@@ -788,6 +788,35 @@ def test_index_stats(index):
     assert abs(r["avgdl"] - r["total_tokens"] / 8) < 1e-6
 
 
+def test_bm25_page_keyset_pagination(index):
+    """Pages of 2 chained via the search_after cursor must concatenate to
+    exactly the single top-k list (no gap, no overlap), and the paged plan
+    must stay a TakeOrderedAndProject (constant per-page cost — never a
+    global sort or an offset-discard)."""
+    from mini_search_engine_spark.search import bm25_page
+
+    full = [
+        (r["docid"], r["score"]) for r in bm25_topk(index, ["cat", "dog"], 10).collect()
+    ]
+    assert len(full) >= 5  # corpus has ≥5 cat/dog docs
+    paged, cursor = [], None
+    for _ in range(4):
+        page_df = bm25_page(index, ["cat", "dog"], page_size=2, after=cursor)
+        page = [(r["docid"], r["score"]) for r in page_df.collect()]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert paged == full[: len(paged)] and len(paged) >= 5
+    plan = (
+        bm25_page(index, ["cat", "dog"], 2, after=(full[1][1], full[1][0]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bm25_topk_batch_matches_per_query(spark, index):
     """Batch scoring must be score- and rank-identical to N separate
     bm25_topk calls, while spending strictly fewer Spark jobs than the
