@@ -719,6 +719,16 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def q_collocations(spark, sf_dir):
+    """Top bigram collocations by PMI (ops/textstats.py collocations):
+    bigrams generated natively per doc (arrays_zip of the token array
+    against its 1-shift — no positional self-join), min_count tail prune
+    BEFORE the unigram joins."""
+    from mini_search_engine_spark.ops import collocations
+
+    return collocations(load_documents(spark, sf_dir), min_count=5, topk=50)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (ops/chunk.py) — the pre-training
     split step. Pure narrow Catalyst: split, sequence-of-starts, explode,
@@ -976,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "collocations": q_collocations,
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "repetition_scores": q_repetition,
@@ -1710,6 +1721,19 @@ SELECT d.doc_id AS docid,
        len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
        length(d.text)::BIGINT AS n_chars_seen
 FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id"""
+
+    sqls["collocations"] = f"""WITH {_WS},
+tokp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM wtl),
+bi AS (SELECT a.term AS a, b.term AS b
+       FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM bi GROUP BY a, b HAVING count(*) >= 5),
+uc AS (SELECT term, count(*)::BIGINT AS n FROM tokp GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM bi)::DOUBLE AS nb,
+               (SELECT count(*) FROM tokp)::DOUBLE AS nu)
+SELECT bc.a, bc.b, bc.n_ab,
+       round(ln((bc.n_ab / tot.nb) / ((ua.n / tot.nu) * (ub.n / tot.nu))), 6) AS pmi
+FROM bc JOIN uc ua ON bc.a = ua.term JOIN uc ub ON bc.b = ub.term CROSS JOIN tot
+ORDER BY pmi DESC, bc.a, bc.b LIMIT 50"""
 
     sqls["fingerprint"] = f"""
 SELECT doc_id AS docid,

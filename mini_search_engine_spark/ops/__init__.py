@@ -51,6 +51,7 @@ from mini_search_engine_spark.ops.symbols import (
     symbol_search,
 )
 from mini_search_engine_spark.ops.textstats import (
+    collocations,
     language_id,
     quality_scores,
     token_counts,
@@ -96,6 +97,7 @@ __all__ = [
     "stratified_hash_sample",
     "epoch_mix",
     "language_id",
+    "collocations",
     "quality_scores",
     "token_counts",
     "fingerprints",

@@ -80,6 +80,74 @@ def language_id(docs: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    topk: int = 50,
+    content_col: str = "content",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information →
+    (a, b, n_ab, pmi), PMI descending.
+
+    ``pmi = ln( (n_ab / N_bi) / ((n_a / N_tok) · (n_b / N_tok)) )`` with
+    bigram counts over adjacent whitespace-token pairs and unigram counts
+    over the token stream — the classic corpus-analytics collocation
+    statistic (phrase mining, tokenizer-merge candidates, quality audits).
+
+    Plan shape at scale: bigrams are generated NATIVELY per doc
+    (``arrays_zip`` of the token array against its own 1-shift — no
+    positional self-join, no explode-then-join), so the whole operator is
+    two hash aggregations (bigram key, unigram key) + two joins of the
+    bigram-count frame against the O(vocab) unigram-count frame (AQE
+    broadcasts when vocab is small) + one-row total frames crossed in.
+    ``min_count`` prunes the long tail BEFORE the joins — at web scale the
+    singleton-bigram tail is the bulk of the frame and pure PMI noise.
+    """
+    c = F.col(content_col)
+    n1 = F.greatest(F.size(F.col("_t")) - 1, F.lit(0))
+    bigrams = (
+        docs.select(_ws_tokens(c).alias("_t"))
+        .select(
+            F.slice(F.col("_t"), 1, n1).alias("_a"),
+            F.slice(F.col("_t"), 2, n1).alias("_b"),
+        )
+        .select(F.explode(F.arrays_zip("_a", "_b")).alias("z"))
+        .select(F.col("z._a").alias("a"), F.col("z._b").alias("b"))
+    )
+    uni = (
+        docs.select(F.explode(_ws_tokens(c)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    bc = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    tot = bigrams.agg(F.count("*").cast("double").alias("nb")).crossJoin(
+        uni.agg(F.sum("n").cast("double").alias("nu"))
+    )
+    return (
+        bc.join(uni.select(F.col("term").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("n").alias("n_b")), "b")
+        .crossJoin(tot)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("nb"))
+                    / ((F.col("n_a") / F.col("nu")) * (F.col("n_b") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(topk)
+    )
+
+
 def fingerprints(
     docs: DataFrame, k: int = 5, content_col: str = "content"
 ) -> DataFrame:

@@ -479,3 +479,34 @@ def test_import_edges_and_rank(spark):
     # 'core' (doc 0) is imported by two files incl. a dedicated leaf -> top rank
     assert pr[0] == max(pr.values())
     assert pr[4] == min(pr.values())  # nothing imports doc 4
+
+
+def test_collocations_pmi(dup_corpus):
+    """PMI and counts must equal an independent driver-side recompute over
+    the same whitespace tokens (min_count=2 keeps shared bigrams only)."""
+    import math
+
+    from mini_search_engine_spark.ops import collocations
+
+    toks = {
+        r["docid"]: r["content"].lower().split()
+        for r in dup_corpus.select("docid", "content").collect()
+    }
+    uni, bi = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    nb, nu = sum(bi.values()), sum(uni.values())
+    expect = {
+        (a, b): (n, round(math.log((n / nb) / ((uni[a] / nu) * (uni[b] / nu))), 6))
+        for (a, b), n in bi.items()
+        if n >= 2
+    }
+    out = collocations(dup_corpus, min_count=2, topk=100).collect()
+    got = {(r["a"], r["b"]): (r["n_ab"], r["pmi"]) for r in out}
+    assert got == expect and len(expect) > 3
+    # ordered by pmi desc then (a, b)
+    keys = [(-r["pmi"], r["a"], r["b"]) for r in out]
+    assert keys == sorted(keys)
