@@ -471,6 +471,65 @@ def q_bm25_page2(spark, sf_dir):
     return _round_score(bm25_page(idx, ["spark", "merge"], 5, after=cursor))
 
 
+def q_bm25_filtered(spark, sf_dir):
+    """Structured + fulltext (search/structured.py bm25_topk_filtered):
+    BM25 over the index restricted to a corpus predicate applied BEFORE
+    the semi-join (it reaches the parquet scan as PushedFilters) — the
+    true top-k OF the filtered set, not a filtered page."""
+    from mini_search_engine_spark.search import bm25_topk_filtered
+
+    out = bm25_topk_filtered(
+        _index(spark, sf_dir),
+        load_documents(spark, sf_dir),
+        ["spark", "merge"],
+        "n_chars >= 300 AND source IN ('src3', 'src7', 'src13')",
+        topk=10,
+    )
+    return _round_score(out)
+
+
+def q_collapse_by_source(spark, sf_dir):
+    """Field collapsing (search/structured.py collapse_results): best hit
+    per corpus `source`, then global top-10 — the dedup-by-field search-UI
+    contract; the window runs on the term-pruned scored frame, never the
+    corpus."""
+    from mini_search_engine_spark.search import collapse_results
+    from mini_search_engine_spark.search.ranking import bm25_scores
+
+    idx = _index(spark, sf_dir)
+    out = collapse_results(
+        bm25_scores(idx, ["spark", "merge"]),
+        load_documents(spark, sf_dir),
+        "source",
+        per_group=1,
+        topk=10,
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_bm25_explain(spark, sf_dir):
+    """Score explain (search/structured.py bm25_explain): per-(doc, term)
+    tf / df / idf / saturation / contribution rows for the top-3 result
+    docs — contributions sum to the result score; the explain pass
+    re-reads only the term-pruned blocks the query touched."""
+    from mini_search_engine_spark.search import bm25_explain
+
+    idx = _index(spark, sf_dir)
+    top3 = [r["docid"] for r in bm25_topk(idx, ["spark", "merge"], 3).collect()]
+    return bm25_explain(idx, ["spark", "merge"], top3)
+
+
+def q_synonym_query(spark, sf_dir):
+    """Query-time synonym expansion (search/querylang.py expand_synonyms):
+    AST rewrite OR-expanding term leaves before the single-scan evaluate —
+    synonyms just widen the tid pushdown set."""
+    from mini_search_engine_spark.search import search_query
+
+    return search_query(
+        _index(spark, sf_dir), "spark AND merge", synonyms={"merge": ["flush"]}
+    )
+
+
 def q_doc_deletes_bm25(spark, sf_dir):
     """Doc-level merge-on-read deletes (index/deletes.py — the Iceberg
     equality-delete analog the reference lacks): tombstone every docid ≡ 3
@@ -947,6 +1006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_batch": q_bm25_batch,
         "bm25_page2": q_bm25_page2,
+        "bm25_filtered": q_bm25_filtered,
+        "collapse_by_source": q_collapse_by_source,
+        "bm25_explain": q_bm25_explain,
+        "synonym_query": q_synonym_query,
         "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
@@ -1445,6 +1508,63 @@ FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
     sqls["bm25_page2"] = _bm25_sql(["spark", "merge"], k=10).replace(
         "LIMIT 10", "LIMIT 5 OFFSET 5"
     )
+    # filtered search: index stats stay GLOBAL (unlike doc_deletes_bm25's
+    # rebuilt-corpus doc_where); only the final result set is restricted
+    sqls["bm25_filtered"] = (
+        _bm25_sql(["spark", "merge"], k=10)
+        .replace("SELECT doc_id AS docid, round", "SELECT s.doc_id AS docid, round")
+        .replace(
+            "FROM s ORDER BY",
+            "FROM s JOIN documents d ON d.doc_id = s.doc_id\n"
+            "WHERE d.n_chars >= 300 AND d.source IN ('src3', 'src7', 'src13')\n"
+            "ORDER BY",
+        )
+    )
+
+    _BM25_CORE = _bm25_sql(["spark", "merge"]).split("\nSELECT doc_id AS docid")[0]
+    sqls["collapse_by_source"] = (
+        _BM25_CORE
+        + """,
+j AS (SELECT s.doc_id, s.score, d.source
+      FROM s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (SELECT doc_id, score, source,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+      FROM j)
+SELECT doc_id AS docid, round(score, 6) AS score, source
+FROM r WHERE rn = 1 ORDER BY round(score, 6) DESC, doc_id LIMIT 10"""
+    )
+
+    sqls["bm25_explain"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term, qtf) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf,
+         (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS tff,
+         q.qtf
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, sum(qtf * idf * tff) AS score FROM contrib GROUP BY doc_id),
+top3 AS (SELECT doc_id FROM s ORDER BY round(score, 6) DESC, doc_id LIMIT 3)
+SELECT c.doc_id AS docid, c.term, c.tf::BIGINT AS tf, c.df::BIGINT AS df,
+       round(c.idf, 6) AS idf, round(c.tff, 6) AS tf_factor,
+       round(c.qtf * c.idf * c.tff, 6) AS contribution
+FROM contrib c JOIN top3 USING (doc_id)
+ORDER BY docid, term"""
+
+    sqls["synonym_query"] = f"""WITH {_TOK}
+SELECT docid FROM (
+  SELECT DISTINCT doc_id AS docid FROM tok WHERE term = 'spark'
+  INTERSECT
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'flush')
+) ORDER BY docid"""
+
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
     sqls["doc_deletes_bm25"] = _bm25_sql(["spark", "merge"], doc_where="doc_id % 7 <> 3")

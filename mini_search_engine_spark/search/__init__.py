@@ -17,7 +17,13 @@ from mini_search_engine_spark.search.ranking import (
 from mini_search_engine_spark.search.querylang import (
     parse_query,
     search_query,
+    expand_synonyms,
     QuerySyntaxError,
+)
+from mini_search_engine_spark.search.structured import (
+    bm25_topk_filtered,
+    collapse_results,
+    bm25_explain,
 )
 from mini_search_engine_spark.search.expand import (
     search_fuzzy,
@@ -54,7 +60,11 @@ __all__ = [
     "bm25_page",
     "parse_query",
     "search_query",
+    "expand_synonyms",
     "QuerySyntaxError",
+    "bm25_topk_filtered",
+    "collapse_results",
+    "bm25_explain",
     "multi_field_bm25",
     "rrf_fuse",
     "hybrid_search",

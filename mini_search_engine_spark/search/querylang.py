@@ -173,6 +173,29 @@ def parse_query(query: str):
     return ast
 
 
+def expand_synonyms(node, synonyms: dict[str, list[str]]):
+    """Query-time synonym expansion: rewrite each Term leaf whose
+    lowercased text has an entry in ``synonyms`` into an OR group of the
+    original + its synonyms. A pure AST→AST rewrite BEFORE compilation, so
+    the expanded query still evaluates in one scan (the synonyms simply
+    widen the tid pushdown set); phrases are left alone (synonyms inside a
+    phrase would change its positional semantics)."""
+    if isinstance(node, Term):
+        syns = synonyms.get(node.text.lower())
+        if syns:
+            return Or(tuple([node] + [Term(s) for s in syns]))
+        return node
+    if isinstance(node, Phrase):
+        return node
+    if isinstance(node, Not):
+        return Not(expand_synonyms(node.child, synonyms))
+    if isinstance(node, And):
+        return And(tuple(expand_synonyms(c, synonyms) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_synonyms(c, synonyms) for c in node.children))
+    raise TypeError(f"unknown AST node {node!r}")
+
+
 # -- compilation -------------------------------------------------------------
 
 def _walk(node, analyzer: str, terms: set, phrases: list):
@@ -238,13 +261,21 @@ def _eval_empty(node, analyzer: str) -> bool:
     raise TypeError(f"unknown AST node {node!r}")
 
 
-def search_query(index: InvertedIndex, query: str) -> DataFrame:
+def search_query(
+    index: InvertedIndex,
+    query: str,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Evaluate a boolean query-language string → docids ascending.
 
-    See module docstring for the grammar, semantics, and the
-    single-scan / single-aggregate evaluation strategy.
+    ``synonyms`` (term → alternatives) OR-expands matching term leaves
+    before evaluation (see ``expand_synonyms``). See module docstring for
+    the grammar, semantics, and the single-scan / single-aggregate
+    evaluation strategy.
     """
     ast = parse_query(query)
+    if synonyms:
+        ast = expand_synonyms(ast, synonyms)
     terms: set[str] = set()
     phrases: list[str] = []
     _walk(ast, index.analyzer, terms, phrases)
