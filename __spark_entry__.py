@@ -683,6 +683,31 @@ def q_ann_cosine(spark, sf_dir):
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (ops/ann.py mmr_rerank): cluster does the
+    exact distributed top-fetch_k; the inherently sequential greedy runs
+    driver-side over that page-sized survivor set (lam=0.5 keeps both
+    MMR weights exactly representable so the DuckDB unrolled-greedy
+    oracle is bit-comparable at 6dp)."""
+    from mini_search_engine_spark.ops import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # query = perturbed vec 0 (0.9·v + 0.1), NOT vec 0 itself: a query
+    # equal to a corpus vector makes every post-first-pick MMR score
+    # exactly 0 (rel ≡ max_sim), leaving ranks to float noise
+    q = [
+        0.9 * float(x) + 0.1
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    out = mmr_rerank(emb, q, k=5, fetch_k=50, lam=0.5)
+    return out.select(
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+        "rank",
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Exact all-pairs cosine near-dup — the CORRECTNESS HARNESS entry
     (ADVICE r2 item 4): it matches the (equally quadratic) DuckDB oracle by
@@ -1042,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_jaccard,
         "ann_cosine": q_ann_cosine,
+        "mmr_rerank": q_mmr_rerank,
         "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -1771,6 +1797,45 @@ FROM d ORDER BY round(dot / (sqrt(n2) * sqrt(q2)), 6) DESC, vec_id LIMIT 10"""
     # IVF with nprobe == n_centroids is the exact scan by construction —
     # same oracle; the entry hash-checks the fit/assign/probe plumbing
     sqls["ann_ivf"] = sqls["ann_cosine"]
+
+    # MMR: the k=5 greedy unrolled as chained CTEs — sel_i picks the
+    # argmax of 0.5·rel − 0.5·max-sim-to-selected, rem_i folds the new
+    # pick's similarity into the running max (exactly mmr_rerank's loop)
+    _mmr = [
+        """cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT list_transform(embedding::DOUBLE[], x -> 0.9 * x + 0.1)
+            FROM embeddings WHERE vec_id = 0)) AS rel
+  FROM embeddings ORDER BY rel DESC, vec_id LIMIT 50)""",
+        "sel1 AS (SELECT vec_id, e, rel, 0.5 * rel AS mmr FROM cand "
+        "ORDER BY mmr DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(1, 5):
+        src = "cand c" if i == 1 else f"rem{i-1} c"
+        ms = (
+            "list_cosine_similarity(c.e, s.e)"
+            if i == 1
+            else "greatest(c.ms, list_cosine_similarity(c.e, s.e))"
+        )
+        _mmr.append(
+            f"rem{i} AS (SELECT c.vec_id, c.e, c.rel, {ms} AS ms "
+            f"FROM {src} CROSS JOIN sel{i} s WHERE c.vec_id <> s.vec_id)"
+        )
+        _mmr.append(
+            f"sel{i+1} AS (SELECT vec_id, e, rel, 0.5 * rel - 0.5 * ms AS mmr "
+            f"FROM rem{i} ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+    sqls["mmr_rerank"] = (
+        "WITH "
+        + ",\n".join(_mmr)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT vec_id, round(rel, 6) AS cosine, round(mmr, 6) AS mmr_score,"
+            f" {i}::BIGINT AS rank FROM sel{i}"
+            for i in range(1, 6)
+        )
+    )
 
     sqls["embed_neardup"] = """
 WITH e AS (

@@ -231,6 +231,42 @@ def main():
 
     timed_ext("bm25_seq16", _seq16)
 
+    # boolean query language, collocations, structured serving
+    from mini_search_engine_spark.ops import collocations
+    from mini_search_engine_spark.search import (
+        bm25_page,
+        bm25_topk_filtered,
+        collapse_results,
+        search_query,
+    )
+    from mini_search_engine_spark.search.ranking import bm25_scores
+
+    timed_ext(
+        "boolean_query",
+        lambda: search_query(
+            idx, "(spark OR merge) AND filter AND NOT unheard"
+        ).count(),
+    )
+    timed_ext("collocations", lambda: collocations(docs, min_count=5, topk=50).collect())
+    timed_ext(
+        "bm25_filtered",
+        lambda: bm25_topk_filtered(
+            idx, docs, ["spark", "merge"], "n_chars >= 300"
+        ).collect(),
+    )
+    timed_ext(
+        "collapse_by_source",
+        lambda: collapse_results(
+            bm25_scores(idx, ["spark", "merge"]), docs, "source"
+        ).collect(),
+    )
+    timed_ext(
+        "bm25_page_deep",
+        lambda: bm25_page(
+            idx, ["spark", "merge"], 10, after=(0.05, 1 << 40)
+        ).collect(),
+    )
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",

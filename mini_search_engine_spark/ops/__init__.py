@@ -16,6 +16,7 @@ from mini_search_engine_spark.ops.dedup import (
 from mini_search_engine_spark.ops.ann import (
     cosine_pairs,
     cosine_topk,
+    mmr_rerank,
     ivf_assign,
     ivf_cosine_topk,
     ivf_fit_centroids,
@@ -78,6 +79,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_pairs",
     "cosine_topk",
+    "mmr_rerank",
     "ivf_assign",
     "ivf_cosine_topk",
     "ivf_fit_centroids",

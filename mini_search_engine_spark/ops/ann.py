@@ -343,3 +343,72 @@ def lsh_cosine_topk(
         F.col("_bkt").isin(near)
     )
     return cosine_topk(cand.drop("_bkt"), query_vec, k, id_col, vec_col)
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    fetch_k: int = 100,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification → (vec_id, cosine,
+    mmr_score, rank): greedily pick ``k`` of the ``fetch_k`` most relevant
+    vectors, each maximizing ``lam·rel − (1−lam)·max-sim-to-selected``.
+
+    The standard retrieval diversifier (near-duplicate hits crowd out
+    coverage in RAG / eval-set selection). MMR's greedy argmax is
+    inherently sequential in k, so the split is: the CLUSTER does the
+    heavy part (exact ``cosine_topk`` over all N vectors — distributed
+    heap, no shuffle of the vector table), and the driver runs the greedy
+    over the ``fetch_k`` survivors with vectorized numpy (fetch_k × dim
+    floats — page-sized by contract, like the top-k seeds bm25's pruner
+    collects). ``lam=1`` degrades to pure relevance order; deterministic
+    id tie-break both phases. Not SQL-expressible (argmax recursion) —
+    verified in pytest against an independent driver recompute.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    top = cosine_topk(vectors, query_vec, fetch_k, id_col, vec_col)
+    rows = (
+        top.join(vectors.select(id_col, vec_col), id_col)
+        .select(id_col, "cosine", vec_col)
+        .collect()
+    )
+    if not rows:
+        spark = vectors.sparkSession
+        return spark.range(0).select(
+            F.col("id").alias(id_col),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0.0).alias("mmr_score"),
+            F.lit(0).alias("rank"),
+        )
+    # deterministic candidate order: relevance desc, id asc (matches topk)
+    rows.sort(key=lambda r: (-r["cosine"], r[id_col]))
+    ids = [r[id_col] for r in rows]
+    rel = np.array([r["cosine"] for r in rows])
+    V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    selected: list[int] = []
+    out = []
+    max_sim = np.full(len(ids), -np.inf)
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            cand_scores = lam * rel - (1.0 - lam) * max_sim
+        else:
+            cand_scores = lam * rel  # no diversity term for the first pick
+        cand_scores[selected] = -np.inf
+        # argmax with deterministic tie-break: numpy argmax returns the
+        # FIRST maximal index, and candidates are sorted (rel desc, id asc)
+        best = int(np.argmax(cand_scores))
+        out.append((ids[best], float(rel[best]), float(cand_scores[best]), rank))
+        selected.append(best)
+        max_sim = np.maximum(max_sim, Vn @ Vn[best])
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        out, f"{id_col} long, cosine double, mmr_score double, rank long"
+    )

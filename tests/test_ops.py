@@ -510,3 +510,46 @@ def test_collocations_pmi(dup_corpus):
     # ordered by pmi desc then (a, b)
     keys = [(-r["pmi"], r["a"], r["b"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_mmr_rerank(vectors):
+    """MMR greedy must equal an independent driver recompute; lam=1 must
+    equal pure cosine order; diversity must actually reorder (a redundant
+    near-duplicate of the top hit drops below a diverse hit)."""
+    import math
+
+    import numpy as np
+
+    from mini_search_engine_spark.ops.ann import cosine_topk, mmr_rerank
+
+    rows = vectors.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = V[0] * 0.9 + 0.1  # near vec 0
+    lam = 0.7
+
+    got = mmr_rerank(vectors, list(q), k=5, fetch_k=len(ids), lam=lam).collect()
+
+    # independent recompute
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    rel = Vn @ qn
+    order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))
+    sel, exp = [], []
+    maxsim = {i: -math.inf for i in order}
+    for rank in range(1, 6):
+        if sel:
+            scores = {i: lam * rel[i] - (1 - lam) * maxsim[i] for i in order if i not in sel}
+        else:
+            scores = {i: lam * rel[i] for i in order}
+        best = max(order, key=lambda i: scores[i] if i in scores else -math.inf)
+        exp.append((ids[best], rank))
+        sel.append(best)
+        for i in order:
+            maxsim[i] = max(maxsim[i], float(Vn[i] @ Vn[best]))
+    assert [(r["vec_id"], r["rank"]) for r in got] == exp
+
+    # lam=1 ≡ relevance order
+    pure = mmr_rerank(vectors, list(q), k=5, fetch_k=len(ids), lam=1.0).collect()
+    topk = cosine_topk(vectors, list(q), 5).collect()
+    assert [r["vec_id"] for r in pure] == [r["vec_id"] for r in topk]
