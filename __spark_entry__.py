@@ -138,6 +138,18 @@ def q_near(spark, sf_dir):
     return search_near(_index(spark, sf_dir, positional=True), ["spark", "merge"], slop=3)
 
 
+def q_window_search(spark, sf_dir):
+    """Unordered proximity (search/boolean.py search_window): both terms
+    inside some 4-position span in ANY order — the WITHIN/sloppy-phrase
+    complement of near_search's ordered chain; nested exists over per-doc
+    position arrays, no positional self-join."""
+    from mini_search_engine_spark.search import search_window
+
+    return search_window(
+        _index(spark, sf_dir, positional=True), ["spark", "merge"], window=4
+    )
+
+
 def q_boolean_query(spark, sf_dir):
     """Composable boolean query language (search/querylang.py): the whole
     nested expression — OR group, positional-phrase leaf, NOT — evaluates
@@ -1022,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_search": q_or,
         "phrase_search": q_phrase,
         "near_search": q_near,
+        "window_search": q_window_search,
         "boolean_query": q_boolean_query,
         "boolean_query_universe": q_boolean_query_universe,
         "prefix_search": q_prefix_search,
@@ -1446,6 +1459,14 @@ p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos F
 SELECT DISTINCT a.doc_id AS docid
 FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
 WHERE a.term = 'spark' AND b.term = 'merge' ORDER BY docid"""
+
+    # unordered window=4 over 2 terms ≡ pairwise position distance ≤ 3
+    sqls["window_search"] = f"""WITH {_TL},
+p AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT DISTINCT a.doc_id AS docid
+FROM p a JOIN p b ON a.doc_id = b.doc_id
+WHERE a.term = 'spark' AND b.term = 'merge' AND abs(a.pos - b.pos) <= 3
+ORDER BY docid"""
 
     # boolean query language: set algebra over the same tokenization —
     # INTERSECT binds tighter than EXCEPT in DuckDB, matching the query's

@@ -7,6 +7,7 @@ from mini_search_engine_spark.search.boolean import (
     search_or,
     search_near,
     search_phrase,
+    search_window,
 )
 from mini_search_engine_spark.search.ranking import (
     search_tfidf,
@@ -48,6 +49,7 @@ __all__ = [
     "search_or",
     "search_near",
     "search_phrase",
+    "search_window",
     "search_prefix",
     "search_wildcard",
     "search_fuzzy",

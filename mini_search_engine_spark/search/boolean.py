@@ -231,3 +231,63 @@ def search_near(
     the standard query-log/training-data proximity primitive, built from
     the same positional index with no extra state."""
     return _positional_chain(index, phrase, slop)
+
+
+def search_window(
+    index: InvertedIndex, keywords: list[str], window: int
+) -> DataFrame:
+    """UNORDERED proximity: docs where one occurrence of EVERY analyzed
+    term falls inside some ``window``-position span (any order) — the
+    sloppy-phrase / WITHIN operator that complements ``search_near``'s
+    ordered chain.
+
+    Exact predicate, pure Catalyst: a qualifying span exists iff some
+    anchor position ``p`` (WLOG the span's minimum — so an occurrence of
+    one of the terms) has every term occurring in ``[p, p + window - 1]``.
+    After the same per-term positions join the phrase chain uses, that is
+    one nested ``exists(anchor, p -> AND_i exists(pos_i, q -> p ≤ q <
+    p + window))`` over per-doc position arrays — no positional self-join,
+    no explode; per-doc cost O(Σ|pos| · m) on arrays already in memory.
+    ``window = len(terms)`` is the unordered-phrase special case."""
+    terms = sorted({t for k in keywords for t in analyze_query(k, index.analyzer)})
+    if not index.positional:
+        raise NotImplementedError("window search requires a positional index")
+    if not terms:
+        return _empty_docids(index)
+    if window < len(terms):
+        raise ValueError("window must be >= number of distinct terms")
+    if len(terms) == 1:
+        return search_keyword(index, terms[0])
+
+    posts = _postings_for(index, terms)
+    tp = posts.select(
+        "tid",
+        F.explode(F.arrays_zip("docids", "positions")).alias("z"),
+    ).select("tid", F.col("z.docids").alias("docid"), F.col("z.positions").alias("pos"))
+
+    joined: DataFrame | None = None
+    from mini_search_engine_spark.index.termid import term_ids as _tids
+
+    for i, t in enumerate(terms):
+        cur = tp.filter(F.col("tid") == _tids([t])[0]).select(
+            F.col("docid"), F.col("pos").alias(f"pos_{i}")
+        )
+        joined = cur if joined is None else joined.join(cur, "docid")
+
+    anchors = F.col("pos_0")
+    for i in range(1, len(terms)):
+        anchors = F.concat(anchors, F.col(f"pos_{i}"))
+
+    def _all_in_span(p):
+        cond = F.lit(True)
+        for i in range(len(terms)):
+            cond = cond & F.exists(
+                F.col(f"pos_{i}"), lambda q: (q >= p) & (q < p + window)
+            )
+        return cond
+
+    return (
+        joined.filter(F.exists(anchors, _all_in_span))
+        .select("docid")
+        .orderBy("docid")
+    )

@@ -35,10 +35,15 @@ def test_components_max_iter_raises(spark):
 
 
 def test_components_no_leaked_caches(spark):
+    # compare RDD-id SETS, not counts: Spark's async ContextCleaner may
+    # drop a STALE cache from an earlier test module between the two
+    # snapshots (count goes down — not a leak); a leak is a NEW id that
+    # survives the call
     sc = spark.sparkContext
-    before = sc._jsc.getPersistentRDDs().size()
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     _cc(spark, [(1, 2), (2, 3), (3, 4), (9, 10)])
-    assert sc._jsc.getPersistentRDDs().size() == before
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked cache ids: {after - before}"
 
 
 def test_dedup_clusters_and_canonical(spark):

@@ -121,6 +121,43 @@ def test_matches_bruteforce(index, tiny_corpus):
     assert ids(search_query(index, q)) == expect and len(expect) > 0
 
 
+def test_search_window_unordered_proximity(index, tiny_corpus):
+    from mini_search_engine_spark.analysis.udfs import analyze_query
+    from mini_search_engine_spark.search import search_near, search_window
+
+    # doc 5 = [quick, brown, fox, quick, brown, dog]: quick@{0,3}, dog@{5}
+    # → need a 3-position span; ordered near(dog→quick) finds nothing
+    assert ids(search_window(index, ["dog", "quick"], window=2)) == []
+    assert ids(search_window(index, ["dog", "quick"], window=3)) == [5]
+    assert ids(search_near(index, ["dog", "quick"], slop=2)) == []
+    # adjacency either order
+    assert ids(search_window(index, ["cat", "dog"], window=2)) == [0, 2, 7]
+    # single analyzed term degrades to keyword
+    assert ids(search_window(index, ["cat"], window=5)) == [0, 2, 7]
+    with pytest.raises(ValueError):
+        search_window(index, ["cat", "dog"], window=1)
+
+    # brute-force parity across windows on all docs
+    toks = {
+        r["doc_id"]: analyze_query(r["text"], "porter")
+        for r in tiny_corpus.collect()
+    }
+    for terms, w in [(["quick", "dog"], 3), (["cat", "dog"], 4), (["quick", "brown", "dog"], 4)]:
+        expect = sorted(
+            d
+            for d, tk in toks.items()
+            if all(t in tk for t in terms)
+            and any(
+                all(
+                    any(p <= q < p + w for q, x in enumerate(tk) if x == t)
+                    for t in terms
+                )
+                for p in range(len(tk))
+            )
+        )
+        assert ids(search_window(index, terms, window=w)) == expect, (terms, w)
+
+
 def test_positive_query_plan_has_no_join(index):
     """A pure-term boolean query — however deeply nested — must stay ONE
     pruned scan + ONE aggregate: no join operator anywhere in the plan
