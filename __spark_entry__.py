@@ -269,6 +269,35 @@ def q_fielded_bm25(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-field construction (search/anchor.py): per target, inbound
+    link snippets (first 3 whitespace tokens of each linking doc)
+    aggregated in ascending-src order — ONE hash exchange on dst, hub skew
+    capped by max_anchors inside the same partitioning."""
+    from mini_search_engine_spark.search import anchor_texts
+
+    docs = load_documents(spark, sf_dir)
+    edges, _ = _edges(spark, sf_dir)
+    return anchor_texts(docs, edges, n_tokens=3, max_anchors=64)
+
+
+def q_anchor_rank(spark, sf_dir):
+    """Anchor-text BM25F (search/anchor.py anchor_bm25): the link graph's
+    anchor field gets its OWN index (own df/avgdl — anchor vocabularies
+    are repetitive; sharing content stats would crush anchor idf) and a
+    2.0 boost over the body, combined via multi_field_bm25."""
+    from mini_search_engine_spark.search import anchor_bm25
+
+    docs = load_documents(spark, sf_dir)
+    edges, _ = _edges(spark, sf_dir)
+    return _round_score(
+        anchor_bm25(
+            docs, edges, ["spark", "merge"], topk=None, analyzer=ANALYZER
+        ),
+        k=10,
+    )
+
+
 def q_substring_search(spark, sf_dir):
     """Trigram-indexed substring search (index/trigram.py — the Google
     Code Search / Zoekt structure): the literal's RAREST trigram posting
@@ -1055,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "substring_search": q_substring_search,
         "fielded_bm25": q_fielded_bm25,
+        "anchor_texts": q_anchor_texts,
+        "anchor_rank": q_anchor_rank,
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
@@ -1539,6 +1570,78 @@ tc AS (
 ),
 s AS (SELECT doc_id, sum(sc) AS score
       FROM (SELECT * FROM bc UNION ALL SELECT * FROM tc) GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
+
+    # anchor field: distinct synthetic edges, first-3-whitespace-token
+    # snippets, ascending-src aggregation (== array_sort(struct(src,snip)))
+    _ANCHOR = f"""{_WS},
+nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % c AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 13 + 5) % c AS dst FROM documents, nn
+  )
+),
+snip AS (SELECT doc_id AS src, array_to_string(toks[1:3], ' ') AS sn FROM wtl),
+an AS (
+  SELECT dst AS doc_id, string_agg(sn, ' ' ORDER BY src) AS atext
+  FROM e JOIN snip USING (src) GROUP BY dst
+)"""
+
+    sqls["anchor_texts"] = f"""WITH {_ANCHOR}
+SELECT doc_id AS docid, atext AS anchor_text FROM an ORDER BY docid"""
+
+    _AJTRIM = "regexp_replace(atext, '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+    sqls["anchor_rank"] = f"""WITH {_ANCHOR},
+tl AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower({_JTRIM}), '{PUNCT_SPLIT_PATTERN}'),
+           x -> x <> '' AND x NOT IN ({_STOP_IN})
+         ) AS toks
+  FROM documents
+),
+atl AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower({_AJTRIM}), '{PUNCT_SPLIT_PATTERN}'),
+           x -> x <> '' AND x NOT IN ({_STOP_IN})
+         ) AS toks
+  FROM an
+),
+q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+n0 AS (SELECT count(*)::DOUBLE AS n FROM documents),
+n0a AS (SELECT count(*)::DOUBLE AS n FROM an),
+btok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+btf AS (SELECT doc_id, term, count(*)::INT AS tf FROM btok GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+bavg AS (SELECT avg(dl)::DOUBLE AS avgdl FROM bdl),
+atok AS (SELECT doc_id, unnest(toks) AS term FROM atl),
+atf AS (SELECT doc_id, term, count(*)::INT AS tf FROM atok GROUP BY doc_id, term),
+adl AS (SELECT doc_id, len(toks)::INT AS dl FROM atl),
+adf AS (SELECT term, count(*)::BIGINT AS df FROM atf GROUP BY term),
+aavg AS (SELECT avg(dl)::DOUBLE AS avgdl FROM adl),
+bc AS (
+  SELECT btf.doc_id,
+         1.0 * q.qw * ln(1.0 + (n0.n - bdf.df + 0.5) / (bdf.df + 0.5))
+             * (btf.tf * (1.2 + 1.0))
+             / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / bavg.avgdl)) AS sc
+  FROM btf JOIN q USING (term) JOIN bdf USING (term)
+       JOIN bdl USING (doc_id) CROSS JOIN bavg CROSS JOIN n0
+),
+ac AS (
+  SELECT atf.doc_id,
+         2.0 * q.qw * ln(1.0 + (n0a.n - adf.df + 0.5) / (adf.df + 0.5))
+             * (atf.tf * (1.2 + 1.0))
+             / (atf.tf + 1.2 * (1.0 - 0.75 + 0.75 * adl.dl / aavg.avgdl)) AS sc
+  FROM atf JOIN q USING (term) JOIN adf USING (term)
+       JOIN adl USING (doc_id) CROSS JOIN aavg CROSS JOIN n0a
+),
+s AS (SELECT doc_id, sum(sc) AS score
+      FROM (SELECT * FROM bc UNION ALL SELECT * FROM ac) GROUP BY doc_id)
 SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 

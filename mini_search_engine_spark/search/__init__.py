@@ -21,6 +21,10 @@ from mini_search_engine_spark.search.querylang import (
     expand_synonyms,
     QuerySyntaxError,
 )
+from mini_search_engine_spark.search.anchor import (
+    anchor_texts,
+    anchor_bm25,
+)
 from mini_search_engine_spark.search.structured import (
     bm25_topk_filtered,
     collapse_results,
@@ -64,6 +68,8 @@ __all__ = [
     "search_query",
     "expand_synonyms",
     "QuerySyntaxError",
+    "anchor_texts",
+    "anchor_bm25",
     "bm25_topk_filtered",
     "collapse_results",
     "bm25_explain",

@@ -105,3 +105,33 @@ def test_synonym_expansion(index):
         for r in search_query(index, "NOT cat", synonyms={"cat": ["fox"]}).collect()
     ]
     assert neg == [1, 3, 4, 6]
+
+
+def test_anchor_texts_and_rank(spark):
+    from mini_search_engine_spark.search import anchor_bm25, anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "epsilon zeta"),
+            (2, "eta theta iota"),
+        ],
+        "docid long, content string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0), (0, 2)], "src long, dst long"  # dup edge dedups
+    )
+    at = {r["docid"]: r["anchor_text"] for r in anchor_texts(docs, edges, n_tokens=2).collect()}
+    assert at == {2: "alpha beta epsilon zeta", 0: "eta theta"}
+    # hub cap: keep only the lowest-src anchor
+    capped = {
+        r["docid"]: r["anchor_text"]
+        for r in anchor_texts(docs, edges, n_tokens=2, max_anchors=1).collect()
+    }
+    assert capped[2] == "alpha beta"
+
+    # anchor field makes doc 2 findable by 'alpha' (only doc 0's CONTENT
+    # has it); with a 2.0 anchor boost doc 2 must outrank doc 0
+    got = anchor_bm25(docs, edges, ["alpha"], topk=5).collect()
+    by = {r["docid"]: r["score"] for r in got}
+    assert set(by) == {0, 2} and by[2] > by[0] > 0
