@@ -269,6 +269,22 @@ def q_fielded_bm25(spark, sf_dir):
     )
 
 
+def q_hits_rank(spark, sf_dir):
+    """HITS hubs/authorities (search/pagerank.py hits), 3 iterations with
+    per-half-step L2 normalization — the query-independent complement to
+    the reference's PageRank; the norm is a one-row aggregate crossJoined
+    back in, no driver collect inside the loop."""
+    from mini_search_engine_spark.search import hits
+
+    edges, _ = _edges(spark, sf_dir)
+    out = hits(edges, num_iter=3)
+    return out.select(
+        "docid",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-field construction (search/anchor.py): per target, inbound
     link snippets (first 3 whitespace tokens of each linking doc)
@@ -1086,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_bm25": q_fielded_bm25,
         "anchor_texts": q_anchor_texts,
         "anchor_rank": q_anchor_rank,
+        "hits_rank": q_hits_rank,
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
@@ -1572,6 +1589,40 @@ s AS (SELECT doc_id, sum(sc) AS score
       FROM (SELECT * FROM bc UNION ALL SELECT * FROM tc) GROUP BY doc_id)
 SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
+
+    # HITS: 3 iterations unrolled; each half-step is msgs → coalesce-0 over
+    # the node set → L2 normalize (exactly search/pagerank.py hits)
+    _hits_parts = [
+        _edges_sql(),
+        """,
+nodesd AS (SELECT src AS docid FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT docid, 1.0::DOUBLE AS v FROM nodesd)""",
+    ]
+    for i in range(1, 4):
+        _hits_parts.append(f""",
+a{i}r AS (
+  SELECT n.docid, coalesce(s.v, 0.0) AS v FROM nodesd n
+  LEFT JOIN (SELECT e.dst AS docid, sum(h.v) AS v FROM e
+             JOIN h{i-1} h ON h.docid = e.src GROUP BY e.dst) s USING (docid)
+),
+a{i}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM a{i}r),
+a{i} AS (SELECT docid, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS v
+         FROM a{i}r CROSS JOIN a{i}n),
+h{i}r AS (
+  SELECT n.docid, coalesce(s.v, 0.0) AS v FROM nodesd n
+  LEFT JOIN (SELECT e.src AS docid, sum(a.v) AS v FROM e
+             JOIN a{i} a ON a.docid = e.dst GROUP BY e.src) s USING (docid)
+),
+h{i}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM h{i}r),
+h{i} AS (SELECT docid, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS v
+         FROM h{i}r CROSS JOIN h{i}n)""")
+    sqls["hits_rank"] = (
+        "WITH "
+        + "".join(_hits_parts)
+        + """
+SELECT a.docid, round(a.v, 6) AS authority, round(h.v, 6) AS hub
+FROM a3 a JOIN h3 h USING (docid)"""
+    )
 
     # anchor field: distinct synthetic edges, first-3-whitespace-token
     # snippets, ascending-src aggregation (== array_sort(struct(src,snip)))

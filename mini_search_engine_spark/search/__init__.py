@@ -44,7 +44,7 @@ from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
 from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
-from mini_search_engine_spark.search.pagerank import pagerank, combined_search
+from mini_search_engine_spark.search.pagerank import pagerank, combined_search, hits
 
 __all__ = [
     "search_keyword",
@@ -84,4 +84,5 @@ __all__ = [
     "search_with_snippets",
     "pagerank",
     "combined_search",
+    "hits",
 ]

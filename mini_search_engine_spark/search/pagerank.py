@@ -122,3 +122,74 @@ def combined_search(
         .orderBy(F.desc("combined"), F.asc("docid"))
     )
     return out.limit(topk) if topk is not None else out
+
+
+def hits(
+    edges: DataFrame,
+    num_iter: int = 5,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg) → (docid, authority, hub), L2-normalized each
+    half-step — the query-independent complement to ``pagerank``:
+    authorities are pointed at by good hubs, hubs point at good
+    authorities; on a code-dependency graph authorities are core
+    libraries, hubs are integration roots.
+
+    Loop discipline: every half-step ends in an EAGER ``localCheckpoint``
+    of the un-normalized score frame (O(|V|) rows), and the L2 normalize
+    is a one-row aggregate crossJoined back over that checkpointed leaf.
+    Both halves of this matter. The normalize references its input twice
+    (values + norm), so without the checkpoint the lazy plan DOUBLES per
+    half-step — exponential growth that OOMs the driver within ~10
+    iterations; with it, every half-step optimizes a constant-size plan
+    over a ``LogicalRDD`` leaf. And folding the norm in as a crossJoin
+    (broadcast of one row) instead of a driver ``collect`` keeps the loop
+    at exactly ONE Spark job per half-step — the norm agg is computed
+    inside the next half-step's checkpoint job, never as its own driver
+    round trip. Mutual recursion makes HITS two exchanges per iteration
+    where PageRank pays one; that is inherent to the algorithm, not the
+    plan.
+    """
+    if num_iter < 1:
+        raise ValueError("hits requires num_iter >= 1")
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("docid"))
+            .unionByName(edges.select(F.col("dst").alias("docid")))
+            .distinct()
+        )
+    e = edges.select("src", "dst").persist()
+    nodes = nodes.persist()
+
+    def _half_step(
+        scores: DataFrame, score_col: str, join_on: str, group_on: str, out_col: str
+    ) -> DataFrame:
+        msgs = (
+            e.join(scores.withColumnRenamed("docid", join_on), join_on)
+            .groupBy(group_on)
+            .agg(F.sum(score_col).alias(out_col))
+            .withColumnRenamed(group_on, "docid")
+        )
+        raw = nodes.join(msgs, "docid", "left").select(
+            "docid", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
+        )
+        raw = raw.localCheckpoint()  # eager: truncate lineage, 1 job
+        nrm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("nrm"))
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            "docid",
+            F.when(F.col("nrm") > 0, F.col(out_col) / F.col("nrm"))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+
+    hub = nodes.select("docid", F.lit(1.0).alias("hub"))
+    auth = hub  # overwritten on the first half-step (num_iter >= 1)
+    for _ in range(num_iter):
+        # auth(p) = Σ_{q→p} hub(q);  hub(p) = Σ_{p→q} auth(q)
+        auth = _half_step(hub, "hub", "src", "dst", "authority")
+        hub = _half_step(auth, "authority", "dst", "src", "hub")
+    out = auth.join(hub, "docid").select("docid", "authority", "hub")
+    out = out.localCheckpoint()  # pin the result, then release the caches
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -90,3 +90,33 @@ def test_combined_search(spark, edges_df):
     # large weight → pagerank dominates among equal scores
     got = [r["docid"] for r in combined_search(scored, ranks, 100.0, 3).collect()]
     assert got[0] == 2  # hub
+
+
+def test_hits_hand_computed(spark):
+    """1-iteration HITS on a 4-node graph vs hand-derived values:
+    edges 0→1, 0→2, 3→1; a1 ∝ [in-link hub sums], h1 ∝ [out-link auth
+    sums], each L2-normalized."""
+    import math
+
+    from mini_search_engine_spark.search import hits
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (3, 1)], "src long, dst long")
+    got = {r["docid"]: (r["authority"], r["hub"]) for r in hits(edges, num_iter=1).collect()}
+    s5, s13 = math.sqrt(5), math.sqrt(13)
+    expect = {
+        0: (0.0, 3 / s13),
+        1: (2 / s5, 0.0),
+        2: (1 / s5, 0.0),
+        3: (0.0, 2 / s13),
+    }
+    assert set(got) == set(expect)
+    for d, (a, h) in expect.items():
+        assert abs(got[d][0] - a) < 1e-9 and abs(got[d][1] - h) < 1e-9, d
+    # more iterations keep the structure: node 1 stays the top authority,
+    # node 0 the top hub, and L2 norms stay 1
+    deep = hits(edges, num_iter=10).collect()
+    auths = {r["docid"]: r["authority"] for r in deep}
+    hubs = {r["docid"]: r["hub"] for r in deep}
+    assert max(auths, key=auths.get) == 1 and max(hubs, key=hubs.get) == 0
+    assert abs(sum(v * v for v in auths.values()) - 1.0) < 1e-9
+    assert abs(sum(v * v for v in hubs.values()) - 1.0) < 1e-9
