@@ -285,6 +285,56 @@ def q_hits_rank(spark, sf_dir):
     )
 
 
+def q_link_distance(spark, sf_dir):
+    """BFS hop distance from seed docs {0, 1} up to 4 hops
+    (search/pagerank.py link_distance) — one eager-checkpoint job per hop,
+    early-stop on an empty frontier."""
+    from mini_search_engine_spark.search import link_distance
+
+    edges, _ = _edges(spark, sf_dir)
+    return link_distance(edges, seeds=[0, 1], max_hops=4).orderBy("docid")
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation pairs (search/pagerank.py cocitation): docs linked from
+    ≥1 common source, Jaccard over in-neighbor sets; one edge self-join on
+    src + one (d1, d2) aggregation."""
+    from mini_search_engine_spark.search import cocitation
+
+    edges, _ = _edges(spark, sf_dir)
+    return cocitation(edges, min_common=1).orderBy("d1", "d2")
+
+
+def q_related_docs(spark, sf_dir):
+    """All-pairs tf-idf cosine top-3 neighbors per doc
+    (search/related.py): pair generation per term via a postings self-join
+    on tid. The df ceiling (default N/10, broadcast anti-join of the tiny
+    heavy-term set) is the scale knob, but the synthetic corpus has a
+    29-term stopword-filtered vocabulary where every informative term has
+    df ≈ 0.8N — any cut degenerates the result to exact-duplicate pairs —
+    so this entry runs ceiling = N to exercise the full similarity math;
+    the ceiling path is covered by pytest."""
+    from mini_search_engine_spark.search import related_docs
+
+    idx = _index(spark, sf_dir)
+    return related_docs(idx, topk=3, max_df=idx.n_docs).orderBy("docid", "rank")
+
+
+def q_bm25_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback BM25 (search/feedback.py bm25_prf):
+    pass 1 takes the top-5 BM25 docs for [spark, merge], mines their 5
+    most discriminative non-query terms (Σtf·idf over a docid-pushdown
+    re-tokenize of just those docs), pass 2 re-scores with the expansion
+    terms at weight 0.4."""
+    from mini_search_engine_spark.search import bm25_prf
+
+    idx = _index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    # widen before rounding+re-limiting so rounded ties resolve by docid
+    raw = bm25_prf(idx, docs, ["spark", "merge"], topk=50, fb_docs=5, fb_terms=5, beta=0.4)
+    return _round_score(raw, k=10)
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-field construction (search/anchor.py): per target, inbound
     link snippets (first 3 whitespace tokens of each linking doc)
@@ -1103,6 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "anchor_rank": q_anchor_rank,
         "hits_rank": q_hits_rank,
+        "link_distance": q_link_distance,
+        "cocitation": q_cocitation,
+        "related_docs": q_related_docs,
+        "bm25_prf": q_bm25_prf,
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
@@ -1623,6 +1677,100 @@ h{i} AS (SELECT docid, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS v
 SELECT a.docid, round(a.v, 6) AS authority, round(h.v, 6) AS hub
 FROM a3 a JOIN h3 h USING (docid)"""
     )
+
+    # BFS link distance: 4 hops unrolled; hop i's frontier is hop i-1's
+    # NEW set (exactly search/pagerank.py link_distance)
+    _bfs_parts = [
+        _edges_sql(),
+        """,
+d0(docid, dist) AS (VALUES (0::BIGINT, 0), (1::BIGINT, 0))""",
+    ]
+    for i in range(1, 5):
+        prev_f = "d0" if i == 1 else f"f{i-1}"
+        _bfs_parts.append(f""",
+f{i} AS (SELECT DISTINCT e.dst AS docid FROM e JOIN {prev_f} p ON e.src = p.docid
+         WHERE e.dst NOT IN (SELECT docid FROM d{i-1})),
+d{i} AS (SELECT docid, dist FROM d{i-1} UNION ALL SELECT docid, {i} FROM f{i})""")
+    sqls["link_distance"] = (
+        "WITH " + "".join(_bfs_parts) + "\nSELECT docid, dist FROM d4 ORDER BY docid"
+    )
+
+    # co-citation: DISTINCT edge self-join on src; Jaccard over full
+    # in-neighbor sets (min_common=1, no outdeg cap → exact semantics)
+    sqls["cocitation"] = f"""WITH {_edges_sql()},
+ed AS (SELECT DISTINCT src, dst FROM e),
+ind AS (SELECT dst, count(*)::BIGINT AS indeg FROM ed GROUP BY dst),
+cm AS (SELECT a.dst AS d1, b.dst AS d2, count(*)::BIGINT AS common
+       FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
+       GROUP BY 1, 2)
+SELECT cm.d1, cm.d2, cm.common,
+       round(cm.common::DOUBLE / (i1.indeg + i2.indeg - cm.common), 6) AS jaccard
+FROM cm JOIN ind i1 ON i1.dst = cm.d1 JOIN ind i2 ON i2.dst = cm.d2
+ORDER BY cm.d1, cm.d2"""
+
+    # all-pairs tf-idf cosine neighbors: w = tf·ln(N/df) over terms with
+    # df ≤ N/10, pairs per shared term, top-3 per doc on (round6 DESC,
+    # neighbor ASC) — exactly search/related.py related_docs
+    sqls["related_docs"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n, count(*)::BIGINT AS ceil FROM documents),
+w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dfreq.df) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+      WHERE dfreq.df <= nn.ceil AND dfreq.df < nn.n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dt AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+       FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+cs AS (SELECT d1, d2, dot / (n1.nrm * n2.nrm) AS sim
+       FROM dt JOIN nrm n1 ON n1.doc_id = dt.d1 JOIN nrm n2 ON n2.doc_id = dt.d2),
+sym AS (SELECT d1 AS docid, d2 AS neighbor, sim FROM cs
+        UNION ALL SELECT d2, d1, sim FROM cs),
+rk AS (SELECT docid, neighbor, round(sim, 6) AS sim,
+              row_number() OVER (PARTITION BY docid
+                                 ORDER BY round(sim, 6) DESC, neighbor) AS rank
+       FROM sym)
+SELECT docid, neighbor, sim, rank FROM rk WHERE rank <= 3 ORDER BY docid, rank"""
+
+    # PRF: base BM25 → top-5 fb docs → top-5 non-query terms by
+    # round6(Σtf·idf) → re-score with originals at 1.0 + expansions at 0.4
+    sqls["bm25_prf"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q0(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+c0 AS (
+  SELECT tf.doc_id,
+         q0.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN q0 USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s0 AS (SELECT doc_id, sum(sc) AS score FROM c0 GROUP BY doc_id),
+fb AS (SELECT doc_id FROM s0 ORDER BY round(score, 6) DESC, doc_id LIMIT 5),
+cand AS (SELECT tf.term, sum(tf.tf)::BIGINT AS tfsum
+         FROM tf JOIN fb USING (doc_id)
+         WHERE tf.term NOT IN ('spark', 'merge')
+         GROUP BY tf.term),
+fbs AS (SELECT cand.term,
+               round(cand.tfsum * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS fb_score
+        FROM cand JOIN dfreq USING (term) CROSS JOIN gl),
+top5 AS (SELECT term FROM fbs ORDER BY fb_score DESC, term LIMIT 5),
+q AS (SELECT term, qw FROM q0 UNION ALL SELECT term, 0.4::DOUBLE FROM top5),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 
     # anchor field: distinct synthetic edges, first-3-whitespace-token
     # snippets, ascending-src aggregation (== array_sort(struct(src,snip)))

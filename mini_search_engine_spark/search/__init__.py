@@ -44,7 +44,16 @@ from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
 from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
-from mini_search_engine_spark.search.pagerank import pagerank, combined_search, hits
+from mini_search_engine_spark.search.pagerank import (
+    cocitation,
+    combined_search,
+    hits,
+    link_distance,
+    pagerank,
+)
+from mini_search_engine_spark.search.related import related_docs
+from mini_search_engine_spark.search.feedback import bm25_prf, expansion_terms
+from mini_search_engine_spark.search.ranking import bm25_topk_weighted
 
 __all__ = [
     "search_keyword",
@@ -85,4 +94,10 @@ __all__ = [
     "pagerank",
     "combined_search",
     "hits",
+    "link_distance",
+    "cocitation",
+    "related_docs",
+    "bm25_prf",
+    "expansion_terms",
+    "bm25_topk_weighted",
 ]

@@ -124,6 +124,97 @@ def combined_search(
     return out.limit(topk) if topk is not None else out
 
 
+def link_distance(
+    edges: DataFrame,
+    seeds: list[int],
+    max_hops: int = 4,
+) -> DataFrame:
+    """BFS over the link graph → (docid, dist): minimum hop count from any
+    seed, up to ``max_hops``; unreachable docs are absent. The crawl-depth /
+    spam-distance primitive (distance from a trusted seed set is the core
+    of TrustRank-style ranking signals).
+
+    Iterative frontier expansion: each hop is ONE eager ``localCheckpoint``
+    job — frontier ⋈ edges → new docids (left_anti against everything
+    already reached) — so lineage stays constant-depth and a hop whose
+    frontier is empty stops the loop early (the emptiness check rides the
+    checkpoint's materialization, no extra job). State is O(reached), the
+    per-hop shuffle is O(frontier-adjacent edges); hub fanout dedups inside
+    the hop's ``distinct`` before touching the reached set.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sorted(set(seeds))], "docid long, dist int"
+    ).localCheckpoint()
+    frontier = dist.select("docid")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("docid", "src"), "src")
+            .select(F.col("dst").alias("docid"))
+            .distinct()
+            .join(dist, "docid", "left_anti")
+            .select("docid", F.lit(hop).alias("dist"))
+        ).localCheckpoint()  # eager: 1 job per hop, constant lineage
+        if not nxt.take(1):  # checkpointed — take(1) is a local scan
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("docid")
+    e.unpersist()
+    return dist
+
+
+def cocitation(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_outdeg: int | None = None,
+) -> DataFrame:
+    """Co-citation similarity → (d1, d2, common, jaccard), d1 < d2: pairs
+    of docs linked FROM at least ``min_common`` common sources, with
+    Jaccard over their in-neighbor sets — "docs cited together are
+    related" (Small 1973), the link-structure analog of related_docs'
+    term-vector cosine.
+
+    One self-join of the edge list on ``src`` + one (d1, d2) aggregation.
+    The scale knob mirrors related_docs' df ceiling: a source with outdeg
+    k contributes k²/2 pairs, so ``max_outdeg`` drops mega-hub sources via
+    a broadcast anti-join (the > ceiling set is tiny); in-degrees for the
+    Jaccard denominator still count ALL edges, so the cap only thins the
+    pair-evidence side, exactly like df-filtered cosine.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_outdeg is not None:
+        heavy = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("outdeg"))
+            .filter(F.col("outdeg") > max_outdeg)
+            .select("src")
+        )
+        pair_src = e.join(F.broadcast(heavy), "src", "left_anti")
+    else:
+        pair_src = e
+    a, b = pair_src.alias("a"), pair_src.alias("b")
+    common = (
+        a.join(b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")))
+        .groupBy(F.col("a.dst").alias("d1"), F.col("b.dst").alias("d2"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    indeg = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (
+        common.join(indeg.withColumnRenamed("dst", "d1").withColumnRenamed("indeg", "i1"), "d1")
+        .join(indeg.withColumnRenamed("dst", "d2").withColumnRenamed("indeg", "i2"), "d2")
+        .select(
+            "d1",
+            "d2",
+            "common",
+            F.round(
+                F.col("common") / (F.col("i1") + F.col("i2") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def hits(
     edges: DataFrame,
     num_iter: int = 5,

@@ -368,6 +368,38 @@ def bm25_topk(
     return out
 
 
+def bm25_topk_weighted(
+    index: InvertedIndex, weights: dict[str, float], topk: int = 10
+) -> DataFrame:
+    """Exact BM25 top-k for an ALREADY-ANALYZED weighted query vector
+    {term: weight} — ``bm25_topk`` with real-valued term weights instead
+    of analyzer multiplicities. The composable form relevance-feedback
+    expansion needs: expansion terms enter with fractional weight, and the
+    plan is identical to the unweighted path (one pruned scan, weights
+    folded into the chained-CASE literal)."""
+    terms = sorted(t for t, qw in weights.items() if qw)
+    if not terms:
+        return _empty_scored(index)
+    dfm = _df_map(index, terms)
+    rows = [
+        (term_id_py(t), float(weights[t]), _bm25_idf(index.n_docs, dfm[t]))
+        for t in terms
+        if dfm.get(t)
+    ]
+    if not rows:
+        return _empty_scored(index)
+    raw = index.postings.filter(F.col("tid").isin([r[0] for r in rows]))
+    if index.compressed:
+        from dataclasses import replace as _rep
+
+        raw = _rep(index, postings=raw).decoded().postings
+    return (
+        _bm25_exact(raw, rows, index.avgdl)
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(topk)
+    )
+
+
 def bm25_scores(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     """UNRANKED exact BM25 → (docid, score) for every matching doc — the
     composable form of ``bm25_topk`` (no ordering, no limit) used by
