@@ -335,6 +335,118 @@ def q_bm25_prf(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+PERC_QUERIES = [
+    (1, "spark merge"),
+    (2, "vector window"),
+    (3, "fast key order"),
+    (4, "zzzunseen"),  # never matches
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (search/percolate.py): which stored queries match
+    each doc — ONE shuffle join of doc terms against exploded query terms
+    + one (docid, qid) aggregate recovering AND semantics; no per-query
+    loop."""
+    from mini_search_engine_spark.search import percolate
+
+    queries = spark.createDataFrame(PERC_QUERIES, "qid long, query string")
+    return percolate(
+        load_documents(spark, sf_dir), queries, analyzer=ANALYZER
+    ).orderBy("docid", "qid")
+
+
+def q_search_eval(spark, sf_dir):
+    """Relevance eval harness (search/evalmetrics.py relevance_metrics):
+    nDCG@10 / MRR / P@10 / recall@10 per query of the bm25_batch run,
+    against graded qrels derived from the corpus itself (relevant = doc
+    contains ALL the query's terms with Σtf > 3·nterms; grade =
+    least(3, Σtf − 3·nterms) — a sparse raw-tf grading that BM25's dl
+    normalization disagrees with, so the metrics are non-degenerate) —
+    one run⋈qrels join + two aggregations, no driver loop over queries."""
+    from pyspark.sql import Window
+
+    from mini_search_engine_spark.index.build import tokenize_docs
+    from mini_search_engine_spark.search import bm25_topk_batch, relevance_metrics
+
+    idx = _index(spark, sf_dir)
+    raw = bm25_topk_batch(idx, BM25_BATCH, topk=50)
+    r = raw.withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    run = (
+        r.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "docid", "rank")
+    )
+    toks = tokenize_docs(load_documents(spark, sf_dir), ANALYZER).select(
+        "docid", "term", "tf"
+    )
+    qt = spark.createDataFrame(
+        [
+            (qid, t, len(set(ts)))
+            for qid, ts in BM25_BATCH.items()
+            for t in sorted(set(ts))
+        ],
+        "qid string, term string, nterms int",
+    )
+    qrels = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("qid", "docid")
+        .agg(
+            F.count("*").alias("matched"),
+            F.max("nterms").alias("nterms"),
+            F.sum("tf").alias("tfsum"),
+        )
+        .filter(F.col("matched") == F.col("nterms"))
+        .select(
+            "qid",
+            "docid",
+            F.least(F.lit(3), F.col("tfsum") - 3 * F.col("nterms"))
+            .cast("int")
+            .alias("grade"),
+        )
+        .filter(F.col("grade") > 0)
+    )
+    m = relevance_metrics(run, qrels, k=10)
+    return m.select(
+        "qid",
+        F.round("p_at_k", 6).alias("p_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("rr", 6).alias("rr"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+        "n_rel",
+    ).orderBy("qid")
+
+
+def q_index_diff(spark, sf_dir):
+    """Vocabulary drift report (index/build.py index_diff): full-outer
+    join of two snapshots' O(vocab) termstats sidecars on the 60-bit int
+    term id — old = even-docid half, new = full corpus, so every status
+    except 'removed'/'shrunk' occurs."""
+    from mini_search_engine_spark.index.build import index_diff
+
+    docs = load_documents(spark, sf_dir)
+    old = build_index(
+        docs.filter(F.col("docid") % 2 == 0), analyzer=ANALYZER, block_span=BLOCK_SPAN
+    )
+    new = build_index(docs, analyzer=ANALYZER, block_span=BLOCK_SPAN)
+    return index_diff(old, new).orderBy("term")
+
+
+def q_champion_bm25(spark, sf_dir):
+    """Static index pruning (index/prune.py champion_index): BM25 top-10
+    served from the champion tier (each term's top-8 postings by tf DESC,
+    docid ASC; global df/avgdl retained so surviving docs score exactly
+    as on the full index). The oracle replicates the pruning rule in SQL
+    — this entry hash-checks the trade's exact semantics, not an
+    approximation."""
+    from mini_search_engine_spark.index.prune import champion_index
+
+    tier = champion_index(_index(spark, sf_dir), n_per_term=8)
+    raw = bm25_topk(tier, ["spark", "merge"], topk=50)
+    return _round_score(raw, k=10)
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-field construction (search/anchor.py): per target, inbound
     link snippets (first 3 whitespace tokens of each linking doc)
@@ -1157,6 +1269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "related_docs": q_related_docs,
         "bm25_prf": q_bm25_prf,
+        "percolate": q_percolate,
+        "search_eval": q_search_eval,
+        "index_diff": q_index_diff,
+        "champion_bm25": q_champion_bm25,
         "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
@@ -1766,6 +1882,121 @@ contrib AS (
               * (tf.tf * (1.2 + 1.0))
               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
   FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
+
+    # percolation: AND semantics = matched distinct terms == query's
+    # distinct term count; same tokenizer on both relations
+    _perc_vals = ", ".join(f"({q}, '{s}')" for q, s in PERC_QUERIES)
+    sqls["percolate"] = f"""WITH {_TOK},
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+qraw(qid, query) AS (VALUES {_perc_vals}),
+qtd AS (SELECT DISTINCT qid, unnest(list_filter(
+          regexp_split_to_array(lower(trim(query)), '{PUNCT_SPLIT_PATTERN}'),
+          x -> x <> '' AND x NOT IN ({_STOP_IN}))) AS term
+        FROM qraw),
+qn AS (SELECT qid, count(*)::BIGINT AS nterms FROM qtd GROUP BY qid),
+hits AS (SELECT d.doc_id AS docid, q.qid, count(*)::BIGINT AS matched
+         FROM dterm d JOIN qtd q USING (term) GROUP BY 1, 2)
+SELECT h.docid, h.qid, h.matched, qn.nterms
+FROM hits h JOIN qn USING (qid) WHERE h.matched >= qn.nterms
+ORDER BY h.docid, h.qid"""
+
+    # eval metrics over the bm25_batch run; qrels grade = number of
+    # distinct query terms the doc contains
+    _qt_vals = ", ".join(
+        f"('{qid}', '{t}', {len(set(ts))})"
+        for qid, ts in sorted(BM25_BATCH.items())
+        for t in sorted(set(ts))
+    )
+    _run_sql = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, docid, score,\n"
+        f"       row_number() OVER (ORDER BY score DESC, docid)::BIGINT AS rank\n"
+        f"FROM ({_bm25_sql(terms)})"
+        for qid, terms in sorted(BM25_BATCH.items())
+    )
+    sqls["search_eval"] = f"""WITH run AS ({_run_sql}),{_TOK},
+qt(qid, term, nterms) AS (VALUES {_qt_vals}),
+dtf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+qrels AS (SELECT qid, docid, grade FROM (
+            SELECT qt.qid, dtf.doc_id AS docid,
+                   least(3, sum(dtf.tf) - 3 * max(qt.nterms))::INT AS grade
+            FROM dtf JOIN qt USING (term)
+            GROUP BY qt.qid, dtf.doc_id
+            HAVING count(*) = max(qt.nterms)
+          ) WHERE grade > 0),
+j AS (SELECT run.qid, run.rank, coalesce(q.grade, 0) AS grade
+      FROM run LEFT JOIN qrels q ON q.qid = run.qid AND q.docid = run.docid
+      WHERE run.rank <= 10),
+ag AS (SELECT qid,
+              sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS hits,
+              sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg,
+              coalesce(max(CASE WHEN grade > 0 THEN 1.0 / rank END), 0.0) AS rr
+       FROM j GROUP BY qid),
+irk AS (SELECT qid, grade, docid,
+               row_number() OVER (PARTITION BY qid ORDER BY grade DESC, docid) AS irank
+        FROM qrels),
+idcg AS (SELECT qid, sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+         FROM irk WHERE irank <= 10 GROUP BY qid),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid)
+SELECT ag.qid,
+       round(ag.hits / 10.0, 6) AS p_at_k,
+       round(CASE WHEN coalesce(nrel.n_rel, 0) > 0
+                  THEN ag.hits::DOUBLE / nrel.n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(ag.rr, 6) AS rr,
+       round(CASE WHEN coalesce(idcg.idcg, 0.0) > 0
+                  THEN ag.dcg / idcg.idcg ELSE 0.0 END, 6) AS ndcg_at_k,
+       coalesce(nrel.n_rel, 0)::BIGINT AS n_rel
+FROM ag LEFT JOIN idcg USING (qid) LEFT JOIN nrel USING (qid)
+ORDER BY ag.qid"""
+
+    # index diff: df per term of the even-docid half vs the full corpus
+    sqls["index_diff"] = f"""WITH {_TOK},
+otl AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower({_JTRIM}), '{PUNCT_SPLIT_PATTERN}'),
+           x -> x <> '' AND x NOT IN ({_STOP_IN})
+         ) AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+otok AS (SELECT doc_id, unnest(toks) AS term FROM otl),
+odf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM otok GROUP BY term),
+ndf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT coalesce(o.term, n.term) AS term,
+       coalesce(o.df, 0)::BIGINT AS df_old,
+       coalesce(n.df, 0)::BIGINT AS df_new,
+       (coalesce(n.df, 0) - coalesce(o.df, 0))::BIGINT AS delta,
+       CASE WHEN o.term IS NULL THEN 'added'
+            WHEN n.term IS NULL THEN 'removed'
+            WHEN n.df > o.df THEN 'grown'
+            WHEN n.df < o.df THEN 'shrunk'
+            ELSE 'same' END AS status
+FROM odf o FULL OUTER JOIN ndf n USING (term)
+ORDER BY coalesce(o.term, n.term)"""
+
+    # champion tier: per term keep top-8 postings by (tf DESC, docid ASC);
+    # GLOBAL df/avgdl — surviving docs score exactly as unpruned
+    sqls["champion_bm25"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+champ AS (SELECT doc_id, term, tf FROM (
+            SELECT tf.*, row_number() OVER (PARTITION BY term
+                                            ORDER BY tf DESC, doc_id) AS r
+            FROM tf) WHERE r <= 8),
+contrib AS (
+  SELECT c.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (c.tf * (1.2 + 1.0))
+              / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM champ c JOIN q USING (term) JOIN dfreq USING (term)
        JOIN dl USING (doc_id) CROSS JOIN gl
 ),
 s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)

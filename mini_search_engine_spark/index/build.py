@@ -1224,3 +1224,37 @@ def index_stats(index: InvertedIndex) -> DataFrame:
         .withColumn("avgdl", F.round(F.lit(index.avgdl), 6))
         .select("n_docs", "vocab_size", "total_postings", "max_df", "total_tokens", "avgdl")
     )
+
+
+def index_diff(old: "InvertedIndex", new: "InvertedIndex") -> DataFrame:
+    """Vocabulary drift between two index snapshots → (term, df_old,
+    df_new, delta, status ∈ added|removed|grown|shrunk|same) — the ops
+    tool behind "did this crawl batch change the dictionary the way we
+    expected?" (new spam vocabulary, a language shift, a tokenizer
+    regression all show up here first).
+
+    One full-outer join of the two O(vocab) termstats SIDECARS on the
+    term id — posting arrays are never read, and because both sides carry
+    the coordination-free 60-bit hash id, the join key is an 8-byte int
+    even though the output reports the term string."""
+    o = old.termstats.select("tid", "term", F.col("df").alias("df_old"))
+    n = new.termstats.select(
+        "tid", F.col("term").alias("term_new"), F.col("df").alias("df_new")
+    )
+    j = o.join(n, "tid", "full_outer")
+    df_old = F.coalesce(F.col("df_old"), F.lit(0)).cast("long")
+    df_new = F.coalesce(F.col("df_new"), F.lit(0)).cast("long")
+    status = (
+        F.when(F.col("df_old").isNull(), F.lit("added"))
+        .when(F.col("df_new").isNull(), F.lit("removed"))
+        .when(df_new > df_old, F.lit("grown"))
+        .when(df_new < df_old, F.lit("shrunk"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        F.coalesce(F.col("term"), F.col("term_new")).alias("term"),
+        df_old.alias("df_old"),
+        df_new.alias("df_new"),
+        (df_new - df_old).alias("delta"),
+        status.alias("status"),
+    )

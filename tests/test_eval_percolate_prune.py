@@ -1,0 +1,137 @@
+"""percolate (reverse search), relevance_metrics (nDCG/MRR/P@k),
+index_diff (vocabulary drift), champion_index (static pruning) —
+hand-derived goldens."""
+
+import math
+
+import pytest
+
+from mini_search_engine_spark.corpus import load_corpus
+from mini_search_engine_spark.index.build import build_index, index_diff
+from mini_search_engine_spark.index.prune import champion_index
+from mini_search_engine_spark.search import (
+    bm25_topk,
+    percolate,
+    relevance_metrics,
+    search_keyword,
+)
+
+
+def _corpus(spark, texts):
+    rows = [(i, t, "en", "t", len(t)) for i, t in texts.items()]
+    return load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+
+
+def test_percolate_and_semantics(spark):
+    docs = _corpus(
+        spark, {0: "apple banana", 1: "banana", 2: "apple cherry banana apple"}
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana"), (3, "durian")], "qid long, query string"
+    )
+    got = {
+        (r["docid"], r["qid"]): (r["matched"], r["nterms"])
+        for r in percolate(docs, queries, analyzer="punct_nostem").collect()
+    }
+    assert got == {
+        (0, 1): (2, 2),
+        (2, 1): (2, 2),
+        (0, 2): (1, 1),
+        (1, 2): (1, 1),
+        (2, 2): (1, 1),
+    }
+    # min_should relaxation: 'apple durian' matches any doc with ≥1 term
+    q2 = spark.createDataFrame([(9, "apple durian")], "qid long, query string")
+    part = {
+        r["docid"]
+        for r in percolate(docs, q2, analyzer="punct_nostem", min_should=1).collect()
+    }
+    assert part == {0, 2}
+    assert percolate(docs, q2, analyzer="punct_nostem").count() == 0  # full AND
+
+
+def test_relevance_metrics_hand(spark):
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3), ("q2", 10, 1), ("q2", 20, 2)],
+        "qid string, docid long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 20, 2), ("q1", 99, 1), ("q2", 77, 1)],
+        "qid string, docid long, grade int",
+    )
+    got = {r["qid"]: r.asDict() for r in relevance_metrics(run, qrels, k=3).collect()}
+    # q1: one hit (doc 20, grade 2, rank 2)
+    dcg = (2**2 - 1) / math.log2(3)
+    idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    q1 = got["q1"]
+    assert q1["n_rel"] == 2
+    assert abs(q1["p_at_k"] - 1 / 3) < 1e-9
+    assert abs(q1["recall_at_k"] - 0.5) < 1e-9
+    assert abs(q1["rr"] - 0.5) < 1e-9
+    assert abs(q1["ndcg_at_k"] - dcg / idcg) < 1e-9
+    # q2: no relevant retrieved → zeros, not NULLs
+    q2 = got["q2"]
+    assert (q2["p_at_k"], q2["recall_at_k"], q2["rr"], q2["ndcg_at_k"]) == (0.0, 0.0, 0.0, 0.0)
+    assert q2["n_rel"] == 1
+
+
+def test_index_diff_statuses(spark):
+    old = build_index(
+        _corpus(spark, {0: "apple banana", 1: "cherry kiwi"}),
+        analyzer="punct_nostem",
+        block_span=4,
+    )
+    new = build_index(
+        _corpus(spark, {0: "apple banana", 1: "cherry cherry banana", 2: "durian apple"}),
+        analyzer="punct_nostem",
+        block_span=4,
+    )
+    got = {
+        r["term"]: (r["df_old"], r["df_new"], r["delta"], r["status"])
+        for r in index_diff(old, new).collect()
+    }
+    assert got == {
+        "apple": (1, 2, 1, "grown"),
+        "banana": (1, 2, 1, "grown"),
+        "cherry": (1, 1, 0, "same"),
+        "kiwi": (1, 0, -1, "removed"),
+        "durian": (0, 1, 1, "added"),
+    }
+
+
+@pytest.fixture(scope="module")
+def champ_setup(spark):
+    texts = {
+        0: "apple apple apple",        # apple tf 3 — apple's champion
+        1: "apple banana",             # apple tf 1, banana tf 1
+        2: "apple banana banana",      # banana tf 2 — banana's champion
+        3: "cherry",
+    }
+    idx = build_index(_corpus(spark, texts), analyzer="punct_nostem", block_span=2)
+    return idx, champion_index(idx, n_per_term=1)
+
+
+def test_champion_keeps_top_tf_posting(champ_setup):
+    idx, tier = champ_setup
+    assert {r["docid"] for r in search_keyword(tier, "apple").collect()} == {0}
+    assert {r["docid"] for r in search_keyword(tier, "banana").collect()} == {2}
+    # surviving docs score EXACTLY as on the full index (global df/avgdl)
+    full = {r["docid"]: r["score"] for r in bm25_topk(idx, ["apple"], topk=10).collect()}
+    champ = {r["docid"]: r["score"] for r in bm25_topk(tier, ["apple"], topk=10).collect()}
+    assert set(champ) == {0}
+    assert abs(champ[0] - full[0]) < 1e-12
+    # sidecar stats are shared, not recomputed
+    assert tier.n_docs == idx.n_docs and tier.avgdl == idx.avgdl
+
+
+def test_champion_block_stats_consistent(champ_setup):
+    _, tier = champ_setup
+    for r in tier.postings.collect():
+        assert r["n"] == len(r["docids"]) == len(r["tfs"]) == len(r["dls"])
+        assert r["min_docid"] == r["docids"][0] and r["max_docid"] == r["docids"][-1]
+        assert r["max_tf"] == max(r["tfs"]) and r["min_dl"] == min(r["dls"])
+        assert r["docids"] == sorted(r["docids"])
