@@ -467,3 +467,53 @@ def session_event_counts(
             "n_types",
         )
     )
+
+
+def percolate_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    queries: DataFrame,
+    alerts_path: str,
+    analyzer: str = "porter",
+    available_now: bool = True,
+):
+    """Alerting on ingest: percolate every arriving document batch against
+    the stored-query table and append matches to ``alerts_path`` as
+    (docid, qid, matched, nterms, batch_id) parquet.
+
+    The percolation itself is per-document stateless (a doc's matches
+    depend only on that doc and the static query table), so it runs inside
+    ``foreachBatch`` — each micro-batch pays exactly the batch operator's
+    one term-join + one (docid, qid) aggregate over BATCH-sized input, and
+    the checkpoint gives resume-from-last-committed-batch exactly like
+    ``ingest_stream``. The query table is re-analyzed per batch; pin it
+    with ``.persist()`` (or pre-explode once) when the stored-query set is
+    large enough for that to matter.
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+    from mini_search_engine_spark.search.percolate import percolate
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = load_corpus(batch_df)
+        matches = percolate(docs, queries, analyzer=analyzer)
+        (
+            matches.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(alerts_path)
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_path)
+    )
+    writer = reader.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", f"{alerts_path}/_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

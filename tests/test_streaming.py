@@ -402,3 +402,37 @@ def test_session_event_counts_streaming(spark, tmp_path, sf_dir):
     assert got, "streaming produced no closed sessions"
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_percolate_stream_alerts(spark, tmp_path):
+    from mini_search_engine_spark.search import percolate
+    from mini_search_engine_spark.streaming.ingest import percolate_stream
+
+    inp = str(tmp_path / "perc_in")
+    alerts = str(tmp_path / "alerts")
+    queries = spark.createDataFrame(
+        [(1, "alpha word1"), (2, "word2"), (3, "nomatch")], "qid long, query string"
+    )
+    spark.createDataFrame(_rows(0, 12), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = percolate_stream(spark, inp, SCHEMA, queries, alerts, analyzer="porter")
+    q.awaitTermination(120)
+
+    got = {
+        (r["docid"], r["qid"])
+        for r in spark.read.parquet(alerts).select("docid", "qid").collect()
+    }
+    exp_df = percolate(
+        load_corpus(spark.createDataFrame(_rows(0, 12), SCHEMA)), queries, analyzer="porter"
+    )
+    exp = {(r["docid"], r["qid"]) for r in exp_df.collect()}
+    assert got == exp and exp  # batch parity, non-empty
+    assert all(qid != 3 for _, qid in got)
+
+    # checkpointed resume: only NEW docs percolate on the second run
+    spark.createDataFrame(_rows(12, 16), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q2 = percolate_stream(spark, inp, SCHEMA, queries, alerts, analyzer="porter")
+    q2.awaitTermination(120)
+    alerts_df = spark.read.parquet(alerts)
+    # no duplicate (docid, qid) rows — batch 0 was not replayed
+    assert alerts_df.count() == alerts_df.select("docid", "qid").distinct().count()
+    assert alerts_df.filter("docid >= 12").count() > 0
