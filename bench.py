@@ -267,6 +267,30 @@ def main():
         ).collect(),
     )
 
+    # round-4 second wave: graph ranking, reverse search, champion tier
+    from mini_search_engine_spark.index.prune import champion_index
+    from mini_search_engine_spark.search import hits, link_distance, percolate
+
+    timed_ext("hits_3it", lambda: hits(edges, num_iter=3).count())
+    timed_ext(
+        "link_distance_4hop",
+        lambda: link_distance(edges, seeds=[0, 1], max_hops=4).count(),
+    )
+    perc_q = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(_batch_terms[:8])],
+        "qid long, query string",
+    )
+    timed_ext(
+        "percolate_8q",
+        lambda: percolate(docs, perc_q, analyzer="porter").count(),
+    )
+    t0 = time.time()
+    champ = champion_index(idx, n_per_term=128)
+    champ.postings.persist().count()
+    ext["champion_build"] = [round(time.time() - t0, 3)]
+    timed_ext("champion_bm25_top10", lambda: bm25_topk(champ, QUERY_TERMS, 10).collect())
+    champ.postings.unpersist()
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",

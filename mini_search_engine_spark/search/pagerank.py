@@ -124,6 +124,20 @@ def combined_search(
     return out.limit(topk) if topk is not None else out
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a no-longer-needed eager ``localCheckpoint``'s storage
+    block. ``Dataset.unpersist`` only clears cache-manager entries, never
+    checkpoint RDDs; a checkpointed frame's analyzed plan is a
+    ``LogicalRDD`` whose rdd handle unpersists exactly OUR block — no id
+    guessing, safe with concurrent callers persisting their own frames.
+    Best-effort: on any internals mismatch the ContextCleaner/GC backstop
+    still reclaims the block eventually."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def link_distance(
     edges: DataFrame,
     seeds: list[int],
@@ -147,8 +161,9 @@ def link_distance(
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(seeds))], "docid long, dist int"
     ).localCheckpoint()
-    frontier = dist.select("docid")
+    _ckpts: list[DataFrame] = []
     for hop in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1).select("docid")
         nxt = (
             e.join(frontier.withColumnRenamed("docid", "src"), "src")
             .select(F.col("dst").alias("docid"))
@@ -156,11 +171,14 @@ def link_distance(
             .join(dist, "docid", "left_anti")
             .select("docid", F.lit(hop).alias("dist"))
         ).localCheckpoint()  # eager: 1 job per hop, constant lineage
+        _ckpts.append(nxt)
         if not nxt.take(1):  # checkpointed — take(1) is a local scan
             break
+        _ckpts.append(dist)
         dist = dist.unionByName(nxt).localCheckpoint()
-        frontier = nxt.select("docid")
     e.unpersist()
+    for df in _ckpts:  # free hop intermediates; the result block survives
+        _free_local_checkpoint(df)
     return dist
 
 
@@ -251,6 +269,7 @@ def hits(
         )
     e = edges.select("src", "dst").persist()
     nodes = nodes.persist()
+    _ckpts: list[DataFrame] = []  # intermediate checkpoint blocks to free
 
     def _half_step(
         scores: DataFrame, score_col: str, join_on: str, group_on: str, out_col: str
@@ -265,6 +284,7 @@ def hits(
             "docid", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
         )
         raw = raw.localCheckpoint()  # eager: truncate lineage, 1 job
+        _ckpts.append(raw)
         nrm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("nrm"))
         return raw.crossJoin(F.broadcast(nrm)).select(
             "docid",
@@ -280,7 +300,13 @@ def hits(
         auth = _half_step(hub, "hub", "src", "dst", "authority")
         hub = _half_step(auth, "authority", "dst", "src", "hub")
     out = auth.join(hub, "docid").select("docid", "authority", "hub")
-    out = out.localCheckpoint()  # pin the result, then release the caches
+    out = out.localCheckpoint()  # pin the result, then release everything
+    # eagerly free the 2·num_iter intermediate O(|V|) checkpoint blocks —
+    # GC would reclaim them EVENTUALLY, but a serving session calling this
+    # repeatedly shouldn't depend on collector timing (same leak contract
+    # as pagerank: the result block is the single survivor)
     e.unpersist()
     nodes.unpersist()
+    for df in _ckpts:
+        _free_local_checkpoint(df)
     return out

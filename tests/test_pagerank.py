@@ -92,6 +92,21 @@ def test_combined_search(spark, edges_df):
     assert got[0] == 2  # hub
 
 
+def test_hits_releases_intermediate_checkpoints(spark, edges_df):
+    """Same leak contract as pagerank: after materialization only the
+    result's checkpoint block remains — the 2·num_iter half-step blocks
+    are freed eagerly, not left to GC."""
+    from mini_search_engine_spark.search import hits, link_distance
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    hits(edges_df, num_iter=4).count()
+    assert sc._jsc.getPersistentRDDs().size() - before <= 1
+    before = sc._jsc.getPersistentRDDs().size()
+    link_distance(edges_df, seeds=[0], max_hops=5).count()
+    assert sc._jsc.getPersistentRDDs().size() - before <= 1
+
+
 def test_hits_hand_computed(spark):
     """1-iteration HITS on a 4-node graph vs hand-derived values:
     edges 0→1, 0→2, 3→1; a1 ∝ [in-link hub sums], h1 ∝ [out-link auth
