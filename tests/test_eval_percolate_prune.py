@@ -135,3 +135,29 @@ def test_champion_block_stats_consistent(champ_setup):
         assert r["min_docid"] == r["docids"][0] and r["max_docid"] == r["docids"][-1]
         assert r["max_tf"] == max(r["tfs"]) and r["min_dl"] == min(r["dls"])
         assert r["docids"] == sorted(r["docids"])
+
+
+def test_champion_index_single_exchange(champ_setup):
+    """champion_index is one window + one regroup INSIDE the same tid
+    partitioning: hash-partitioning on tid satisfies the (tid, block)
+    grouping, so the TRANSFORM adds exactly one shuffle over whatever the
+    source postings plan already contains (here the un-materialized build
+    plan), and the per-term cap runs as WindowGroupLimit (partial rank
+    pushdown before the exchange). Fresh index: executed DataFrames report
+    AQE-final plan strings whose Exchange counts aren't comparable."""
+    spark = champ_setup[0].postings.sparkSession
+    idx = build_index(
+        _corpus(spark, {0: "apple apple", 1: "apple banana"}),
+        analyzer="punct_nostem",
+        block_span=2,
+    )
+    tier = champion_index(idx, n_per_term=1)
+
+    def n_ex(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+
+    plan = tier.postings._jdf.queryExecution().executedPlan().toString()
+    assert n_ex(tier.postings) - n_ex(idx.postings) == 1, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -188,3 +188,19 @@ def test_cocitation_hand(spark):
     assert (2, 3) not in got
     # outdeg cap: dropping sources with outdeg > 1 leaves no pair evidence
     assert cocitation(edges, max_outdeg=1).count() == 0
+
+
+def test_related_docs_plan_broadcast_antijoin(sim_index):
+    """The df-ceiling heavy-term exclusion must reach the plan as a
+    BROADCAST anti-join (the >ceiling set is tiny by construction) —
+    never a shuffled one."""
+    plan = (
+        related_docs(sim_index, topk=2, max_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan
+    # the anti-join build side is broadcast, not exchanged by hash
+    anti_idx = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:anti_idx]
