@@ -193,13 +193,13 @@ def test_cocitation_hand(spark):
 def test_related_docs_plan_broadcast_antijoin(sim_index):
     """The df-ceiling heavy-term exclusion must reach the plan as a
     BROADCAST anti-join (the >ceiling set is tiny by construction) —
-    never a shuffled one."""
-    plan = (
-        related_docs(sim_index, topk=2, max_df=3)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    never a shuffled one. Asserted on the lazy plan (_related_plan);
+    related_docs itself returns an eagerly-checkpointed result whose plan
+    is a LogicalRDD leaf."""
+    from mini_search_engine_spark.search.related import _related_plan
+
+    _, ranked = _related_plan(sim_index, topk=2, max_df=3, min_sim=0.0)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     # the anti-join build side is broadcast, not exchanged by hash
     anti_idx = plan.index("LeftAnti")
