@@ -161,3 +161,44 @@ def test_champion_index_single_exchange(champ_setup):
     plan = tier.postings._jdf.queryExecution().executedPlan().toString()
     assert n_ex(tier.postings) - n_ex(idx.postings) == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_relevance_metrics_randomized_parity(spark):
+    """200-row randomized run/qrels (fixed seed) vs a from-scratch pure
+    Python implementation — one Spark job, all four metrics + n_rel."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    run_rows, qrels_rows = [], []
+    for q in range(20):
+        qid = f"q{q}"
+        docs = rng.choice(1000, size=10, replace=False)
+        for rank, d in enumerate(docs, start=1):
+            run_rows.append((qid, int(d), rank))
+        rel_docs = rng.choice(1000, size=rng.randint(0, 30), replace=False)
+        for d in rel_docs:
+            qrels_rows.append((qid, int(d), int(rng.randint(1, 4))))
+    run = spark.createDataFrame(run_rows, "qid string, docid long, rank long")
+    qrels = spark.createDataFrame(qrels_rows, "qid string, docid long, grade int")
+    got = {r["qid"]: r.asDict() for r in relevance_metrics(run, qrels, k=10).collect()}
+
+    gr = {}
+    for qid, d, g in qrels_rows:
+        gr.setdefault(qid, {})[d] = g
+    for q in range(20):
+        qid = f"q{q}"
+        mine = [(r, gr.get(qid, {}).get(d, 0)) for (qq, d, r) in run_rows if qq == qid]
+        hits = sum(1 for _, g in mine if g > 0)
+        dcg = sum((2**g - 1) / math.log2(r + 1) for r, g in mine)
+        rr = max((1.0 / r for r, g in mine if g > 0), default=0.0)
+        rel = sorted(
+            ((g, d) for d, g in gr.get(qid, {}).items()), key=lambda x: (-x[0], x[1])
+        )[:10]
+        idcg = sum((2**g - 1) / math.log2(i + 2) for i, (g, _) in enumerate(rel))
+        n_rel = len(gr.get(qid, {}))
+        o = got[qid]
+        assert abs(o["p_at_k"] - hits / 10) < 1e-9, qid
+        assert abs(o["recall_at_k"] - (hits / n_rel if n_rel else 0.0)) < 1e-9, qid
+        assert abs(o["rr"] - rr) < 1e-9, qid
+        assert abs(o["ndcg_at_k"] - (dcg / idcg if idcg > 0 else 0.0)) < 1e-9, qid
+        assert o["n_rel"] == n_rel, qid
