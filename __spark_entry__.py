@@ -269,6 +269,30 @@ def q_fielded_bm25(spark, sf_dir):
     )
 
 
+def q_fielded_dismax(spark, sf_dir):
+    """Disjunction-max multi-field search (search/fields.py
+    multi_field_bm25_dismax): same two fields as fielded_bm25 but
+    score = max_f(w_f·BM25_f) + 0.3·(Σ others) — a path/title hit is not
+    outranked by several weak body mentions; same one-union one-groupBy
+    plan as the sum mode."""
+    from mini_search_engine_spark.analysis.udfs import analyze_col
+    from mini_search_engine_spark.search import multi_field_bm25_dismax
+
+    docs = load_documents(spark, sf_dir)
+    title = docs.withColumn(
+        "content",
+        F.array_join(F.slice(analyze_col(F.col("content"), ANALYZER), 1, 4), " "),
+    )
+    idx_t = build_index(title, analyzer=ANALYZER, block_span=BLOCK_SPAN)
+    idx_b = _index(spark, sf_dir)
+    return _round_score(
+        multi_field_bm25_dismax(
+            [(idx_t, 2.0), (idx_b, 1.0)], ["spark", "merge"], topk=None, tie_breaker=0.3
+        ),
+        k=10,
+    )
+
+
 def q_hits_rank(spark, sf_dir):
     """HITS hubs/authorities (search/pagerank.py hits), 3 iterations with
     per-half-step L2 normalization — the query-independent complement to
@@ -435,11 +459,11 @@ def q_index_diff(spark, sf_dir):
 
 def q_champion_bm25(spark, sf_dir):
     """Static index pruning (index/prune.py champion_index): BM25 top-10
-    served from the champion tier (each term's top-8 postings by tf DESC,
-    docid ASC; global df/avgdl retained so surviving docs score exactly
-    as on the full index). The oracle replicates the pruning rule in SQL
-    — this entry hash-checks the trade's exact semantics, not an
-    approximation."""
+    served from the champion tier (each term's top-8 postings by impact
+    order tf DESC, dl ASC, docid ASC; global df/avgdl retained so
+    surviving docs score exactly as on the full index). The oracle
+    replicates the pruning rule in SQL — this entry hash-checks the
+    trade's exact semantics, not an approximation."""
     from mini_search_engine_spark.index.prune import champion_index
 
     tier = champion_index(_index(spark, sf_dir), n_per_term=8)
@@ -1262,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "substring_search": q_substring_search,
         "fielded_bm25": q_fielded_bm25,
+        "fielded_dismax": q_fielded_dismax,
         "anchor_texts": q_anchor_texts,
         "anchor_rank": q_anchor_rank,
         "hits_rank": q_hits_rank,
@@ -1725,7 +1750,7 @@ FROM s ORDER BY round(dot / sqrt(len2), 6) DESC, docid LIMIT 10"""
     # fielded BM25: title = first 4 analyzed tokens, its own df/avgdl;
     # score = 2·BM25_title + 1·BM25_body (formula text identical to
     # _bm25_sql per field)
-    sqls["fielded_bm25"] = f"""WITH {_TL},
+    _FIELDED = f"""WITH {_TL},
 tt AS (SELECT doc_id, toks[1:4] AS toks FROM tl),
 q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
 n0 AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -1754,9 +1779,22 @@ tc AS (
              / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tavg.avgdl)) AS sc
   FROM ttf JOIN q USING (term) JOIN tdf USING (term)
        JOIN tdl USING (doc_id) CROSS JOIN tavg CROSS JOIN n0
-),
+)"""
+    sqls["fielded_bm25"] = _FIELDED + """,
 s AS (SELECT doc_id, sum(sc) AS score
       FROM (SELECT * FROM bc UNION ALL SELECT * FROM tc) GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
+
+    # dis-max ("best_fields"): per-FIELD per-doc scores first, then
+    # max + 0.3·(sum − max) — exactly multi_field_bm25_dismax
+    sqls["fielded_dismax"] = _FIELDED + """,
+bs AS (SELECT doc_id, sum(sc) AS score FROM bc GROUP BY doc_id),
+ts AS (SELECT doc_id, sum(sc) AS score FROM tc GROUP BY doc_id),
+u AS (SELECT * FROM bs UNION ALL SELECT * FROM ts),
+s AS (SELECT doc_id,
+             max(score) + 0.3 * (sum(score) - max(score)) AS score
+      FROM u GROUP BY doc_id)
 SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 
@@ -1978,8 +2016,9 @@ SELECT coalesce(o.term, n.term) AS term,
 FROM odf o FULL OUTER JOIN ndf n USING (term)
 ORDER BY coalesce(o.term, n.term)"""
 
-    # champion tier: per term keep top-8 postings by (tf DESC, docid ASC);
-    # GLOBAL df/avgdl — surviving docs score exactly as unpruned
+    # champion tier: per term keep top-8 postings by impact order
+    # (tf DESC, dl ASC, docid ASC); GLOBAL df/avgdl — surviving docs
+    # score exactly as unpruned
     sqls["champion_bm25"] = f"""WITH {_TOK},
 tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
@@ -1989,8 +2028,8 @@ gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
 champ AS (SELECT doc_id, term, tf FROM (
             SELECT tf.*, row_number() OVER (PARTITION BY term
-                                            ORDER BY tf DESC, doc_id) AS r
-            FROM tf) WHERE r <= 8),
+                                            ORDER BY tf DESC, dl.dl, doc_id) AS r
+            FROM tf JOIN dl USING (doc_id)) WHERE r <= 8),
 contrib AS (
   SELECT c.doc_id,
          q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))

@@ -1,11 +1,16 @@
 """Static index pruning — champion lists (impact-ordered posting caps).
 
-Keep only each term's ``n_per_term`` highest-impact postings (tf DESC,
-docid ASC — tf is the per-term impact proxy once dl rides in the arrays),
-the classic champion-list / static-pruning trade (Manning, Raghavan &
-Schütze §7.1.3): a bounded index that still answers top-k ranked queries
-almost exactly, because a doc that scores into the top k for a term is
-overwhelmingly one of that term's highest-tf docs. Collection statistics
+Keep only each term's ``n_per_term`` highest-impact postings — ordered
+(tf DESC, dl ASC, docid ASC): raw tf first, and among tf ties the
+SHORTEST doc, because every tf-saturating scorer (BM25's dl
+normalization included) scores the shorter doc higher at equal tf. On
+corpora with near-uniform tf (tf ties dominate), dl is what actually
+ranks the champions; breaking ties by docid instead silently keeps
+low-docid junk. This is the classic champion-list / static-pruning trade
+(Manning, Raghavan & Schütze §7.1.3): a bounded index that still answers
+top-k ranked queries almost exactly, because a doc that scores into the
+top k for a term is overwhelmingly one of that term's highest-impact
+docs. Collection statistics
 (df, N, avgdl) intentionally stay GLOBAL — pruning changes which postings
 are scorable, not what the scores mean — so surviving docs score
 identically to the unpruned index.
@@ -32,7 +37,7 @@ from mini_search_engine_spark.index.build import InvertedIndex
 
 def champion_index(index: InvertedIndex, n_per_term: int = 128) -> InvertedIndex:
     """→ a new InvertedIndex whose postings keep only each term's top
-    ``n_per_term`` docs by (tf DESC, docid ASC). Sidecars (termstats df,
+    ``n_per_term`` docs by (tf DESC, dl ASC, docid ASC). Sidecars (termstats df,
     doclens, n_docs, avgdl) are shared with the source index, uncompressed
     and non-positional (champion tiers serve ranked top-k, not phrase)."""
     posts = index.postings
@@ -49,7 +54,7 @@ def champion_index(index: InvertedIndex, n_per_term: int = 128) -> InvertedIndex
         F.col("z.tfs").alias("tf"),
         F.col("z.dls").alias("dl"),
     )
-    w = Window.partitionBy("tid").orderBy(F.desc("tf"), F.asc("docid"))
+    w = Window.partitionBy("tid").orderBy(F.desc("tf"), F.asc("dl"), F.asc("docid"))
     kept = ex.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= n_per_term)
     re = (
         kept.groupBy("tid", "block")

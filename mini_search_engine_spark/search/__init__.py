@@ -39,7 +39,7 @@ from mini_search_engine_spark.search.expand import (
     vocab_matches,
 )
 from mini_search_engine_spark.search.facets import facet_counts
-from mini_search_engine_spark.search.fields import multi_field_bm25
+from mini_search_engine_spark.search.fields import multi_field_bm25, multi_field_bm25_dismax
 from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
 from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this
 from mini_search_engine_spark.search.fullscan import full_scan_search
@@ -85,6 +85,7 @@ __all__ = [
     "collapse_results",
     "bm25_explain",
     "multi_field_bm25",
+    "multi_field_bm25_dismax",
     "rrf_fuse",
     "hybrid_search",
     "facet_counts",

@@ -54,3 +54,42 @@ def multi_field_bm25(
         .orderBy(F.desc("score"), F.asc("docid"))
     )
     return out.limit(topk) if topk is not None else out
+
+
+def multi_field_bm25_dismax(
+    fields: list[tuple[InvertedIndex, float]],
+    keywords: list[str],
+    topk: int | None = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """Disjunction-max ("best_fields") combination → (docid, score):
+
+        score(d) = max_f w_f·BM25_f  +  tie_breaker · Σ_{other f}
+
+    The sum mode (``multi_field_bm25``) rewards a term spread thinly over
+    many fields as much as one strong field hit; dis-max (Lucene's
+    DisjunctionMaxQuery, Elasticsearch ``best_fields``) ranks by the
+    single best field so a path hit is not outranked by three weak body
+    mentions. ``tie_breaker`` ∈ [0, 1] blends the other fields back in
+    (0 = pure max, 1 ≡ the sum mode). Identical plan shape to the sum
+    mode: per-field tid-pruned scoring, one union, ONE groupBy(docid) —
+    max+sum both fold map-side."""
+    if not fields:
+        raise ValueError("at least one (index, weight) field required")
+    parts = [
+        bm25_scores(idx, keywords).select(
+            "docid", (F.col("score") * float(w)).alias("score")
+        )
+        for idx, w in fields
+    ]
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    best = F.max("score")
+    rest = F.sum("score") - best
+    out = (
+        scored.groupBy("docid")
+        .agg((best + F.lit(float(tie_breaker)) * rest).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+    )
+    return out.limit(topk) if topk is not None else out

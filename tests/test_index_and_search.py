@@ -860,3 +860,50 @@ def test_bm25_topk_batch_matches_per_query(spark, index):
     assert [r["rank"] for r in sorted(got, key=lambda r: (r["qid"], r["rank"]))
             if r["qid"] == "q_cat"] == list(range(1, len(by_qid["q_cat"]) + 1))
     assert jobs_batch < jobs_seq, (jobs_batch, jobs_seq)
+
+
+def test_multi_field_bm25_dismax(spark):
+    """Dis-max identities: tie_breaker=1 ≡ the sum mode on every doc;
+    tie_breaker=0 = the single best field; a doc matching in BOTH fields
+    weakly does not outrank one strong single-field hit at tb=0."""
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.search import (
+        multi_field_bm25,
+        multi_field_bm25_dismax,
+    )
+
+    mk = lambda texts: load_corpus(
+        spark.createDataFrame(
+            [(d, t, "en", "t", 0) for d, t in texts],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    # doc 0: strong title hit only; doc 1: weak hit in BOTH fields
+    titles = mk([(0, "flush flush flush"), (1, "flush padding words here")])
+    bodies = mk([(0, "unrelated"), (1, "flush hidden in a long body of text")])
+    fields = [(build_index(titles, analyzer="punct_nostem"), 1.0),
+              (build_index(bodies, analyzer="punct_nostem"), 1.0)]
+
+    from mini_search_engine_spark.search.ranking import bm25_scores
+
+    per_field = []
+    for idx, w in fields:
+        per_field.append(
+            {r["docid"]: w * r["score"] for r in bm25_scores(idx, ["flush"]).collect()}
+        )
+    docs_all = set().union(*per_field)
+    summed = {r["docid"]: r["score"] for r in multi_field_bm25(fields, ["flush"], None).collect()}
+    tb1 = {r["docid"]: r["score"] for r in multi_field_bm25_dismax(fields, ["flush"], None, tie_breaker=1.0).collect()}
+    tb0 = {r["docid"]: r["score"] for r in multi_field_bm25_dismax(fields, ["flush"], None, tie_breaker=0.0).collect()}
+    tb3 = {r["docid"]: r["score"] for r in multi_field_bm25_dismax(fields, ["flush"], None, tie_breaker=0.3).collect()}
+    assert set(summed) == set(tb1) == set(tb0) == docs_all == {0, 1}
+    for d in docs_all:
+        fs = [pf.get(d, None) for pf in per_field]
+        fs = [x for x in fs if x is not None]
+        assert abs(summed[d] - sum(fs)) < 1e-9
+        assert abs(tb1[d] - sum(fs)) < 1e-9  # tie_breaker=1 ≡ sum mode
+        assert abs(tb0[d] - max(fs)) < 1e-9  # tie_breaker=0 = best field
+        assert abs(tb3[d] - (max(fs) + 0.3 * (sum(fs) - max(fs)))) < 1e-9
+    # doc 1 matches in both fields, so blending strictly separates modes
+    assert tb0[1] < tb3[1] < tb1[1]
