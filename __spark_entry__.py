@@ -1046,6 +1046,29 @@ def q_fingerprint(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def q_frequent_ngrams(spark, sf_dir):
+    """Frequent trigram mining (ops/textstats.py frequent_ngrams): grams
+    generated natively per doc (transform over start offsets, slice +
+    array_join — no positional self-join), one hash agg, min_count=5
+    tail cut before the top-50."""
+    from mini_search_engine_spark.ops import frequent_ngrams
+
+    return frequent_ngrams(load_documents(spark, sf_dir), n=3, min_count=5, topk=50)
+
+
+def q_doc_vectors(spark, sf_dir):
+    """Sparse tf-idf doc-vector export (ops/vectors.py doc_vectors):
+    (docid, tid, weight) triplets with the portable 60-bit term id — the
+    ML-feature export path; the oracle re-derives the SAME ids via
+    DuckDB's md5, hash-checking cross-engine id parity itself."""
+    from mini_search_engine_spark.ops import doc_vectors
+
+    out = doc_vectors(_index(spark, sf_dir))
+    return out.select("docid", "tid", F.round("weight", 6).alias("weight")).orderBy(
+        "docid", "tid"
+    )
+
+
 def q_collocations(spark, sf_dir):
     """Top bigram collocations by PMI (ops/textstats.py collocations):
     bigrams generated natively per doc (arrays_zip of the token array
@@ -1332,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "collocations": q_collocations,
+        "frequent_ngrams": q_frequent_ngrams,
+        "doc_vectors": q_doc_vectors,
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "repetition_scores": q_repetition,
@@ -2512,6 +2537,30 @@ SELECT bc.a, bc.b, bc.n_ab,
        round(ln((bc.n_ab / tot.nb) / ((ua.n / tot.nu) * (ub.n / tot.nu))), 6) AS pmi
 FROM bc JOIN uc ua ON bc.a = ua.term JOIN uc ub ON bc.b = ub.term CROSS JOIN tot
 ORDER BY pmi DESC, bc.a, bc.b LIMIT 50"""
+
+    # frequent trigrams: positional self-join ×2 (the oracle-side dual of
+    # the engine's native slice+array_join generation)
+    sqls["frequent_ngrams"] = f"""WITH {_WS},
+tokp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM wtl),
+tri AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS gram
+        FROM tokp a
+        JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tokp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+SELECT gram, count(*)::BIGINT AS n_occ FROM tri GROUP BY gram
+HAVING count(*) >= 5 ORDER BY n_occ DESC, gram LIMIT 50"""
+
+    # sparse tf-idf export: the oracle re-derives the 60-bit term id from
+    # md5 — value-hash match IS a cross-engine id-parity check
+    sqls["doc_vectors"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tf.doc_id AS docid,
+       {_hash60("tf.term")} AS tid,
+       round(tf.tf * ln(nn.n / dfreq.df), 6) AS weight
+FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+WHERE dfreq.df < nn.n
+ORDER BY docid, tid"""
 
     sqls["fingerprint"] = f"""
 SELECT doc_id AS docid,

@@ -53,12 +53,14 @@ from mini_search_engine_spark.ops.symbols import (
 )
 from mini_search_engine_spark.ops.textstats import (
     collocations,
+    frequent_ngrams,
     language_id,
     quality_scores,
     token_counts,
     fingerprints,
     fingerprints_rolling,
 )
+from mini_search_engine_spark.ops.vectors import doc_vectors
 
 __all__ = [
     "asof_join",
@@ -100,6 +102,8 @@ __all__ = [
     "epoch_mix",
     "language_id",
     "collocations",
+    "frequent_ngrams",
+    "doc_vectors",
     "quality_scores",
     "token_counts",
     "fingerprints",

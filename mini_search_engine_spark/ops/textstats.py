@@ -202,3 +202,42 @@ def fingerprints_rolling(
         return texts.map(one)
 
     return docs.select("docid", _fp(F.col(content_col)).alias("fingerprint"))
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_count: int = 5,
+    topk: int = 50,
+    content_col: str = "content",
+) -> DataFrame:
+    """Frequent word n-gram mining → (gram, n_occ), count DESC then gram
+    ASC, top-k — phrase-table construction for query suggestion,
+    boilerplate detection, and tokenizer-merge candidates (the n>2
+    generalization of ``collocations``' bigram PMI).
+
+    Grams are generated NATIVELY per doc: ``transform`` over the token
+    array's start offsets materializes each n-window with ``slice`` +
+    ``array_join`` — no positional self-join, no per-row Python — then
+    ONE hash aggregation counts occurrences (map-side partials absorb
+    each partition's duplicates before the exchange). ``min_count`` cuts
+    the singleton tail that dominates web-scale gram counts before the
+    top-k."""
+    base = docs.select(_ws_tokens(F.col(content_col)).alias("_t"))
+    n_starts = F.size(F.col("_t")) - (n - 1)
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select(
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(F.col("_t"), i, n), " "))
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(topk)
+    )

@@ -553,3 +553,50 @@ def test_mmr_rerank(vectors):
     pure = mmr_rerank(vectors, list(q), k=5, fetch_k=len(ids), lam=1.0).collect()
     topk = cosine_topk(vectors, list(q), 5).collect()
     assert [r["vec_id"] for r in pure] == [r["vec_id"] for r in topk]
+
+
+def test_frequent_ngrams_hand(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import frequent_ngrams
+
+    rows = [
+        (0, "a b c a b c", "en", "t", 0),
+        (1, "a b c d", "en", "t", 0),
+        (2, "x y", "en", "t", 0),  # shorter than n → contributes nothing
+        (3, "", "en", "t", 0),
+    ]
+    docs = load_corpus(spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"))
+    got = {r["gram"]: r["n_occ"] for r in frequent_ngrams(docs, n=3, min_count=2, topk=10).collect()}
+    # windows: doc0 -> [a b c, b c a, c a b, a b c]; doc1 -> [a b c, b c d]
+    assert got == {"a b c": 3}
+    all_grams = {r["gram"]: r["n_occ"] for r in frequent_ngrams(docs, n=3, min_count=1, topk=10).collect()}
+    assert all_grams == {"a b c": 3, "b c a": 1, "c a b": 1, "b c d": 1}
+
+
+def test_doc_vectors_bruteforce(spark):
+    import math
+
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.index.build import build_index
+    from mini_search_engine_spark.index.termid import term_id_py
+    from mini_search_engine_spark.ops import doc_vectors
+
+    texts = {0: "apple banana apple", 1: "banana cherry", 2: "cherry cherry"}
+    docs = load_corpus(spark.createDataFrame(
+        [(i, t, "en", "t", 0) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long"))
+    idx = build_index(docs, analyzer="punct_nostem", block_span=4)
+    got = {(r["docid"], r["tid"]): r["weight"] for r in doc_vectors(idx).collect()}
+    n, df = 3, {"apple": 1, "banana": 2, "cherry": 2}
+    tf = {(0, "apple"): 2, (0, "banana"): 1, (1, "banana"): 1,
+          (1, "cherry"): 1, (2, "cherry"): 2}
+    expect = {
+        (d, term_id_py(t)): c * math.log(n / df[t]) for (d, t), c in tf.items()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+    # max_df ceiling drops the df-2 terms entirely
+    capped = {(r["docid"], r["tid"]) for r in doc_vectors(idx, max_df=1).collect()}
+    assert capped == {(0, term_id_py("apple"))}
