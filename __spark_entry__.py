@@ -1069,6 +1069,15 @@ def q_doc_vectors(spark, sf_dir):
     )
 
 
+def q_next_words(spark, sf_dir):
+    """Next-word continuation for 'fast' (ops/textstats.py next_words):
+    the bigram half of type-ahead — anchor filter lands BEFORE the
+    aggregation, so only the anchor's successors are ever counted."""
+    from mini_search_engine_spark.ops import next_words
+
+    return next_words(load_documents(spark, sf_dir), "fast", topk=10)
+
+
 def q_collocations(spark, sf_dir):
     """Top bigram collocations by PMI (ops/textstats.py collocations):
     bigrams generated natively per doc (arrays_zip of the token array
@@ -1356,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "collocations": q_collocations,
         "frequent_ngrams": q_frequent_ngrams,
+        "next_words": q_next_words,
         "doc_vectors": q_doc_vectors,
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
@@ -2548,6 +2558,14 @@ tri AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS gram
         JOIN tokp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
 SELECT gram, count(*)::BIGINT AS n_occ FROM tri GROUP BY gram
 HAVING count(*) >= 5 ORDER BY n_occ DESC, gram LIMIT 50"""
+
+    sqls["next_words"] = f"""WITH {_WS},
+tokp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM wtl),
+nx AS (SELECT b.term AS next FROM tokp a
+       JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'fast')
+SELECT next, count(*)::BIGINT AS n_occ FROM nx GROUP BY next
+ORDER BY n_occ DESC, next LIMIT 10"""
 
     # sparse tf-idf export: the oracle re-derives the 60-bit term id from
     # md5 — value-hash match IS a cross-engine id-parity check

@@ -54,6 +54,7 @@ from mini_search_engine_spark.ops.symbols import (
 from mini_search_engine_spark.ops.textstats import (
     collocations,
     frequent_ngrams,
+    next_words,
     language_id,
     quality_scores,
     token_counts,
@@ -103,6 +104,7 @@ __all__ = [
     "language_id",
     "collocations",
     "frequent_ngrams",
+    "next_words",
     "doc_vectors",
     "quality_scores",
     "token_counts",

@@ -241,3 +241,37 @@ def frequent_ngrams(
         .orderBy(F.desc("n_occ"), F.asc("gram"))
         .limit(topk)
     )
+
+
+def next_words(
+    docs: DataFrame,
+    term: str,
+    topk: int = 10,
+    min_count: int = 1,
+    content_col: str = "content",
+) -> DataFrame:
+    """Next-word continuation → (next, n_occ), count DESC then next ASC:
+    the corpus-statistics half of query type-ahead ("fast" → "key", …) —
+    ``search.suggest`` completes the CURRENT token from the vocab sidecar,
+    this predicts the FOLLOWING token from bigram counts.
+
+    The anchor-term filter lands on the LEFT side of the zip before any
+    aggregation, so the plan counts only the anchor's successors — one
+    explode + one hash agg over (occurrences of ``term``), not a corpus
+    bigram table."""
+    c = F.col(content_col)
+    n1 = F.greatest(F.size(F.col("_t")) - 1, F.lit(0))
+    return (
+        docs.select(_ws_tokens(c).alias("_t"))
+        .select(
+            F.slice(F.col("_t"), 1, n1).alias("_a"),
+            F.slice(F.col("_t"), 2, n1).alias("_b"),
+        )
+        .select(F.explode(F.arrays_zip("_a", "_b")).alias("z"))
+        .filter(F.col("z._a") == term)
+        .groupBy(F.col("z._b").alias("next"))
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .orderBy(F.desc("n_occ"), F.asc("next"))
+        .limit(topk)
+    )

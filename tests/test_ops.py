@@ -600,3 +600,18 @@ def test_doc_vectors_bruteforce(spark):
     # max_df ceiling drops the df-2 terms entirely
     capped = {(r["docid"], r["tid"]) for r in doc_vectors(idx, max_df=1).collect()}
     assert capped == {(0, term_id_py("apple"))}
+
+
+def test_next_words_hand(spark):
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import next_words
+
+    rows = [
+        (0, "fast key order fast key fast", "en", "t", 0),  # trailing 'fast' has no successor
+        (1, "slow fast lane", "en", "t", 0),
+    ]
+    docs = load_corpus(spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"))
+    got = [(r["next"], r["n_occ"]) for r in next_words(docs, "fast", topk=10).collect()]
+    assert got == [("key", 2), ("lane", 1)]
+    assert next_words(docs, "absent", topk=10).count() == 0
