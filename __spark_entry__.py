@@ -319,6 +319,18 @@ def q_link_distance(spark, sf_dir):
     return link_distance(edges, seeds=[0, 1], max_hops=4).orderBy("docid")
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from seeds {0, 1}, 5 iterations
+    (search/pagerank.py personalized_pagerank): the reference formula
+    with teleport mass on the seed set — proximity ranking with hop
+    decay, vs link_distance's flat hop count."""
+    from mini_search_engine_spark.search import personalized_pagerank
+
+    edges, nodes = _edges(spark, sf_dir)
+    pr = personalized_pagerank(edges, seeds=[0, 1], num_iter=5, nodes=nodes)
+    return pr.select("docid", F.round("ppr", 6).alias("ppr")).orderBy("docid")
+
+
 def q_cocitation(spark, sf_dir):
     """Co-citation pairs (search/pagerank.py cocitation): docs linked from
     ≥1 common source, Jaccard over in-neighbor sets; one edge self-join on
@@ -1323,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_rank": q_anchor_rank,
         "hits_rank": q_hits_rank,
         "link_distance": q_link_distance,
+        "personalized_pagerank": q_personalized_pagerank,
         "cocitation": q_cocitation,
         "related_docs": q_related_docs,
         "bm25_prf": q_bm25_prf,
@@ -1865,6 +1878,34 @@ h{i} AS (SELECT docid, CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS v
         + """
 SELECT a.docid, round(a.v, 6) AS authority, round(h.v, 6) AS hub
 FROM a3 a JOIN h3 h USING (docid)"""
+    )
+
+    # personalized PageRank: 5 iterations unrolled; base = (1-d) on seeds,
+    # 0 elsewhere; init 1.0 on seeds (exactly personalized_pagerank)
+    _ppr_parts = [
+        _edges_sql(),
+        """,
+p0 AS (SELECT doc_id AS id,
+              CASE WHEN doc_id IN (0, 1) THEN 1.0::DOUBLE ELSE 0.0 END AS pr
+       FROM documents)""",
+    ]
+    for i in range(1, 6):
+        _ppr_parts.append(f""",
+p{i} AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN d.doc_id IN (0, 1) THEN 0.15 ELSE 0.0 END
+           + 0.85 * coalesce(s.m, 0.0) AS pr
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst, sum(p{i-1}.pr / odeg.od) AS m
+    FROM e JOIN p{i-1} ON e.src = p{i-1}.id JOIN odeg ON odeg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)""")
+    sqls["personalized_pagerank"] = (
+        "WITH "
+        + "".join(_ppr_parts)
+        + "\nSELECT id AS docid, round(pr, 6) AS ppr FROM p5 ORDER BY id"
     )
 
     # BFS link distance: 4 hops unrolled; hop i's frontier is hop i-1's

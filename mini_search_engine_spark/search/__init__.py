@@ -50,6 +50,7 @@ from mini_search_engine_spark.search.pagerank import (
     hits,
     link_distance,
     pagerank,
+    personalized_pagerank,
 )
 from mini_search_engine_spark.search.related import related_docs
 from mini_search_engine_spark.search.feedback import bm25_prf, expansion_terms
@@ -98,6 +99,7 @@ __all__ = [
     "combined_search",
     "hits",
     "link_distance",
+    "personalized_pagerank",
     "cocitation",
     "related_docs",
     "bm25_prf",

@@ -135,3 +135,24 @@ def test_hits_hand_computed(spark):
     assert max(auths, key=auths.get) == 1 and max(hubs, key=hubs.get) == 0
     assert abs(sum(v * v for v in auths.values()) - 1.0) < 1e-9
     assert abs(sum(v * v for v in hubs.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_hand(spark):
+    """2-iteration hand check on the chain 0→1→2, seed {0}: mass decays
+    with distance (unnormalized base = 0.15 on seeds)."""
+    from mini_search_engine_spark.search import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["docid"]: r["ppr"] for r in personalized_pagerank(edges, [0], num_iter=2).collect()}
+    assert abs(got[0] - 0.15) < 1e-12
+    assert abs(got[1] - 0.85 * 0.15) < 1e-12
+    assert abs(got[2] - 0.85 * 0.85) < 1e-12
+    # leak contract: only the result checkpoint block survives
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    personalized_pagerank(edges, [0], num_iter=3).count()
+    assert sc._jsc.getPersistentRDDs().size() - before <= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        personalized_pagerank(edges, [])
