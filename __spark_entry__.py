@@ -392,18 +392,15 @@ def q_percolate(spark, sf_dir):
     ).orderBy("docid", "qid")
 
 
-def q_search_eval(spark, sf_dir):
-    """Relevance eval harness (search/evalmetrics.py relevance_metrics):
-    nDCG@10 / MRR / P@10 / recall@10 per query of the bm25_batch run,
-    against graded qrels derived from the corpus itself (relevant = doc
-    contains ALL the query's terms with Σtf > 3·nterms; grade =
-    least(3, Σtf − 3·nterms) — a sparse raw-tf grading that BM25's dl
-    normalization disagrees with, so the metrics are non-degenerate) —
-    one run⋈qrels join + two aggregations, no driver loop over queries."""
+def _eval_run_qrels(spark, sf_dir):
+    """Shared by search_eval / search_eval_macro: the bm25_batch run cut
+    to 10 (ranked on rounded scores) + corpus-derived sparse graded qrels
+    (relevant = doc contains ALL the query's terms with Σtf > 3·nterms;
+    grade = least(3, Σtf − 3·nterms))."""
     from pyspark.sql import Window
 
     from mini_search_engine_spark.index.build import tokenize_docs
-    from mini_search_engine_spark.search import bm25_topk_batch, relevance_metrics
+    from mini_search_engine_spark.search import bm25_topk_batch
 
     idx = _index(spark, sf_dir)
     raw = bm25_topk_batch(idx, BM25_BATCH, topk=50)
@@ -443,6 +440,19 @@ def q_search_eval(spark, sf_dir):
         )
         .filter(F.col("grade") > 0)
     )
+    return run, qrels
+
+
+def q_search_eval(spark, sf_dir):
+    """Relevance eval harness (search/evalmetrics.py relevance_metrics):
+    nDCG@10 / MRR / P@10 / recall@10 per query of the bm25_batch run,
+    against graded qrels derived from the corpus itself (sparse raw-tf
+    grading that BM25's dl normalization disagrees with, so the metrics
+    are non-degenerate) — one run⋈qrels join + two aggregations, no
+    driver loop over queries."""
+    from mini_search_engine_spark.search import relevance_metrics
+
+    run, qrels = _eval_run_qrels(spark, sf_dir)
     m = relevance_metrics(run, qrels, k=10)
     return m.select(
         "qid",
@@ -452,6 +462,23 @@ def q_search_eval(spark, sf_dir):
         F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
         "n_rel",
     ).orderBy("qid")
+
+
+def q_search_eval_macro(spark, sf_dir):
+    """Macro summary: one row of query-averaged P@10 / recall@10 / MRR /
+    nDCG@10 — the dashboard headline numbers, TREC macro convention.
+    For hash determinism the gate averages the ROUNDED per-query metrics
+    on both sides (averaging unrounded doubles would race the 6th decimal
+    across engines); the `macro_metrics` API itself (unrounded averages)
+    is pytest-verified against a pure-Python reference."""
+    per_q = q_search_eval(spark, sf_dir)
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("p_at_k"), 6).alias("mean_p_at_k"),
+        F.round(F.avg("recall_at_k"), 6).alias("mean_recall_at_k"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ndcg_at_k"), 6).alias("mean_ndcg_at_k"),
+    )
 
 
 def q_index_diff(spark, sf_dir):
@@ -1341,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": q_bm25_prf,
         "percolate": q_percolate,
         "search_eval": q_search_eval,
+        "search_eval_macro": q_search_eval_macro,
         "index_diff": q_index_diff,
         "champion_bm25": q_champion_bm25,
         "regex_search": q_regex_search,
@@ -2066,6 +2094,14 @@ SELECT ag.qid,
        coalesce(nrel.n_rel, 0)::BIGINT AS n_rel
 FROM ag LEFT JOIN idcg USING (qid) LEFT JOIN nrel USING (qid)
 ORDER BY ag.qid"""
+
+    sqls["search_eval_macro"] = f"""SELECT
+  count(*)::BIGINT AS n_queries,
+  round(avg(p_at_k), 6) AS mean_p_at_k,
+  round(avg(recall_at_k), 6) AS mean_recall_at_k,
+  round(avg(rr), 6) AS mrr,
+  round(avg(ndcg_at_k), 6) AS mean_ndcg_at_k
+FROM ({sqls["search_eval"]})"""
 
     # index diff: df per term of the even-docid half vs the full corpus
     sqls["index_diff"] = f"""WITH {_TOK},

@@ -56,7 +56,7 @@ from mini_search_engine_spark.search.related import related_docs
 from mini_search_engine_spark.search.feedback import bm25_prf, expansion_terms
 from mini_search_engine_spark.search.ranking import bm25_topk_weighted
 from mini_search_engine_spark.search.percolate import percolate
-from mini_search_engine_spark.search.evalmetrics import relevance_metrics
+from mini_search_engine_spark.search.evalmetrics import macro_metrics, relevance_metrics
 
 __all__ = [
     "search_keyword",
@@ -107,4 +107,5 @@ __all__ = [
     "bm25_topk_weighted",
     "percolate",
     "relevance_metrics",
+    "macro_metrics",
 ]

@@ -68,3 +68,19 @@ def relevance_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFram
             F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
         )
     )
+
+
+def macro_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """One-row macro summary over the per-query metrics → (n_queries,
+    mean_p_at_k, mean_recall_at_k, mrr, mean_ndcg_at_k). ``mrr`` is the
+    mean of per-query reciprocal ranks — the headline number relevance
+    dashboards track. Macro (query-averaged, every query weighs equally)
+    rather than micro, per TREC convention."""
+    per_q = relevance_metrics(run, qrels, k=k)
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.avg("p_at_k").alias("mean_p_at_k"),
+        F.avg("recall_at_k").alias("mean_recall_at_k"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ndcg_at_k").alias("mean_ndcg_at_k"),
+    )

@@ -202,3 +202,23 @@ def test_relevance_metrics_randomized_parity(spark):
         assert abs(o["rr"] - rr) < 1e-9, qid
         assert abs(o["ndcg_at_k"] - (dcg / idcg if idcg > 0 else 0.0)) < 1e-9, qid
         assert o["n_rel"] == n_rel, qid
+
+
+def test_macro_metrics_matches_per_query_means(spark):
+    from mini_search_engine_spark.search import macro_metrics, relevance_metrics
+
+    run = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2), ("q2", 10, 1), ("q3", 5, 1)],
+        "qid string, docid long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 20, 2), ("q2", 99, 1), ("q3", 5, 3)],
+        "qid string, docid long, grade int",
+    )
+    per_q = relevance_metrics(run, qrels, k=3).collect()
+    got = macro_metrics(run, qrels, k=3).collect()[0]
+    assert got["n_queries"] == 3
+    for col, out in [("p_at_k", "mean_p_at_k"), ("recall_at_k", "mean_recall_at_k"),
+                     ("rr", "mrr"), ("ndcg_at_k", "mean_ndcg_at_k")]:
+        exp = sum(r[col] for r in per_q) / 3
+        assert abs(got[out] - exp) < 1e-12, col
