@@ -481,6 +481,18 @@ def q_search_eval_macro(spark, sf_dir):
     )
 
 
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (search/morelike.py
+    significant_terms): terms overrepresented in the lang='de' slice vs
+    the whole corpus — foreground dfs from the INDEX (postings explode +
+    semi-join), background dfs from the termstats sidecar."""
+    from mini_search_engine_spark.search import significant_terms
+
+    docs = load_documents(spark, sf_dir)
+    fg = docs.filter(F.col("lang") == "de").select("docid")
+    return significant_terms(_index(spark, sf_dir), fg, topk=20, min_fg_df=2)
+
+
 def q_index_diff(spark, sf_dir):
     """Vocabulary drift report (index/build.py index_diff): full-outer
     join of two snapshots' O(vocab) termstats sidecars on the 60-bit int
@@ -1369,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "search_eval": q_search_eval,
         "search_eval_macro": q_search_eval_macro,
+        "significant_terms": q_significant_terms,
         "index_diff": q_index_diff,
         "champion_bm25": q_champion_bm25,
         "regex_search": q_regex_search,
@@ -2102,6 +2115,19 @@ ORDER BY ag.qid"""
   round(avg(rr), 6) AS mrr,
   round(avg(ndcg_at_k), 6) AS mean_ndcg_at_k
 FROM ({sqls["search_eval"]})"""
+
+    sqls["significant_terms"] = f"""WITH {_TOK},
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+fg AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+fgn AS (SELECT count(*)::DOUBLE AS n FROM fg),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fdf AS (SELECT term, count(*)::BIGINT AS fg_df FROM dterm JOIN fg USING (doc_id)
+        GROUP BY term HAVING count(*) >= 2),
+bdf AS (SELECT term, count(*)::BIGINT AS bg_df FROM dterm GROUP BY term)
+SELECT fdf.term, fdf.fg_df, bdf.bg_df,
+       round(ln((fdf.fg_df / fgn.n) / (bdf.bg_df / nn.n)), 6) AS score
+FROM fdf JOIN bdf USING (term) CROSS JOIN fgn CROSS JOIN nn
+ORDER BY score DESC, fdf.term LIMIT 20"""
 
     # index diff: df per term of the even-docid half vs the full corpus
     sqls["index_diff"] = f"""WITH {_TOK},

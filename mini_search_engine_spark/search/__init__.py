@@ -41,7 +41,7 @@ from mini_search_engine_spark.search.expand import (
 from mini_search_engine_spark.search.facets import facet_counts
 from mini_search_engine_spark.search.fields import multi_field_bm25, multi_field_bm25_dismax
 from mini_search_engine_spark.search.hybrid import hybrid_search, rrf_fuse
-from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this
+from mini_search_engine_spark.search.morelike import distinctive_terms, more_like_this, significant_terms
 from mini_search_engine_spark.search.fullscan import full_scan_search
 from mini_search_engine_spark.search.snippets import snippets, search_with_snippets
 from mini_search_engine_spark.search.pagerank import (
@@ -92,6 +92,7 @@ __all__ = [
     "facet_counts",
     "more_like_this",
     "distinctive_terms",
+    "significant_terms",
     "full_scan_search",
     "snippets",
     "search_with_snippets",

@@ -74,3 +74,65 @@ def more_like_this(
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )
+
+
+def significant_terms(
+    index: InvertedIndex,
+    fg_docids: DataFrame,
+    topk: int = 20,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """Significant-terms aggregation → (term, fg_df, bg_df, score): terms
+    OVERREPRESENTED in a foreground doc set relative to the whole corpus
+    (Elasticsearch's significant_terms — "why does this result set /
+    segment / cluster differ?"). Score is the log relative risk
+    ``ln((fg_df/fg_n) / (bg_df/bg_n))`` (round6; ties by term ASC);
+    ``min_fg_df`` cuts the noise floor where one foreground occurrence of
+    a rare term dominates any ratio.
+
+    Spark shape: foreground dfs come from the INDEX, not a re-tokenize —
+    explode the postings' docid arrays and semi-join against ``fg_docids``
+    (one row per posting hit; at a bounded foreground the join side
+    broadcasts) → count per tid; background dfs are the O(vocab)
+    termstats sidecar joined on the int tid. One aggregation + one
+    sidecar join, independent of foreground text volume.
+    """
+    fg = fg_docids.select("docid").distinct()
+    fg_n = fg.count()
+    if fg_n == 0:
+        return index.termstats.sparkSession.range(0).select(
+            F.lit("").alias("term"),
+            F.col("id").alias("fg_df"),
+            F.col("id").alias("bg_df"),
+            F.lit(0.0).alias("score"),
+        )
+    posts = index.postings
+    if index.compressed:
+        from dataclasses import replace as _rep
+
+        posts = _rep(index, postings=posts).decoded().postings
+    hit = (
+        posts.select("tid", F.explode("docids").alias("docid"))
+        .join(fg, "docid", "left_semi")
+        .groupBy("tid")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    n = float(index.n_docs)
+    return (
+        hit.join(index.termstats.select("tid", "term", F.col("df").alias("bg_df")), "tid")
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round(
+                F.log(
+                    (F.col("fg_df") / F.lit(float(fg_n)))
+                    / (F.col("bg_df") / F.lit(n))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(topk)
+    )

@@ -222,3 +222,33 @@ def test_macro_metrics_matches_per_query_means(spark):
                      ("rr", "mrr"), ("ndcg_at_k", "mean_ndcg_at_k")]:
         exp = sum(r[col] for r in per_q) / 3
         assert abs(got[out] - exp) < 1e-12, col
+
+
+def test_significant_terms_hand(spark):
+    from mini_search_engine_spark.search import significant_terms
+
+    texts = {
+        0: "kafka stream kafka",   # fg
+        1: "kafka topic",          # fg
+        2: "apple pie",            # bg only
+        3: "apple kafka",          # bg only
+    }
+    docs = _corpus(spark, texts)
+    idx = build_index(docs, analyzer="punct_nostem", block_span=4)
+    fg = spark.createDataFrame([(0,), (1,)], "docid long")
+    got = {
+        r["term"]: (r["fg_df"], r["bg_df"], r["score"])
+        for r in significant_terms(idx, fg, topk=10, min_fg_df=2).collect()
+    }
+    # only 'kafka' has fg_df >= 2: fg 2/2 docs vs bg 3/4 docs
+    import math
+
+    assert list(got) == ["kafka"]
+    assert got["kafka"][:2] == (2, 3)
+    assert abs(got["kafka"][2] - round(math.log((2 / 2) / (3 / 4)), 6)) < 1e-9
+    # min_fg_df=1 admits the singles; 'apple' (bg-heavy, fg-absent) never appears
+    all_terms = {r["term"] for r in significant_terms(idx, fg, topk=10, min_fg_df=1).collect()}
+    assert "apple" not in all_terms and {"stream", "topic"} <= all_terms
+    # empty foreground → empty frame with the right schema
+    empty = significant_terms(idx, spark.createDataFrame([], "docid long"), topk=5)
+    assert empty.count() == 0 and empty.columns == ["term", "fg_df", "bg_df", "score"]
