@@ -1341,7 +1341,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (r4 verdict item 1): the driver's correctness gate
+    # checks the first 50 entries in registry order, so entries that have never
+    # appeared in a driver CORRECTNESS_r*.json come FIRST, followed by entries
+    # last checked in r1-r3, with the 50 entries green in r4 at the tail.
     return {
+        # --- never driver-checked before r5 (judge-verified locally in r4) ---
+        "code_term_df": q_code_term_df,
+        "code_search": q_code_search,
+        "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
+        "decontaminate": q_decontaminate,
+        "remove_duplicate_spans": q_remove_spans,
+        "mmr_rerank": q_mmr_rerank,
+        "collocations": q_collocations,
+        "frequent_ngrams": q_frequent_ngrams,
+        "next_words": q_next_words,
+        "doc_vectors": q_doc_vectors,
+        "doc_chunks": q_doc_chunks,
+        "pii_redact": q_pii_redact,
+        "repetition_scores": q_repetition,
+        "stratified_sample": q_strat_sample,
+        "epoch_mix": q_epoch_mix,
+        "session_stats": q_session_stats,
+        "asof_enrich": q_asof_enrich,
+        "rollup_agg": q_rollup_agg,
+        "doclen_percentiles": q_doclen_percentiles,
+        # --- last driver-checked in r1-r3 ---
+        "term_df": q_term_df,
+        "doclens": q_doclens,
+        "postings_blocks": q_postings_blocks,
+        "pagerank": q_pagerank,
+        "combined_rank": q_combined,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "language_id": q_langid,
+        "quality_scores": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "events_window": q_events_window,
+        "window_rank": q_window_rank,
+        "relational_agg": q_relational_agg,
+        # --- green in CORRECTNESS_r04.json ---
         "keyword_search": q_keyword,
         "and_search": q_and,
         "and_search_segments": q_and_segments,
@@ -1392,47 +1440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "import_rank": q_import_rank,
         "index_stats": q_index_stats,
-        "code_term_df": q_code_term_df,
-        "code_search": q_code_search,
-        "term_df": q_term_df,
-        "doclens": q_doclens,
-        "postings_blocks": q_postings_blocks,
-        "pagerank": q_pagerank,
-        "combined_rank": q_combined,
-        "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash,
-        "minhash_pairs": q_minhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "duplicate_spans": q_duplicate_spans,
-        "decontaminate": q_decontaminate,
-        "remove_duplicate_spans": q_remove_spans,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_jaccard,
-        "ann_cosine": q_ann_cosine,
-        "mmr_rerank": q_mmr_rerank,
-        "ann_ivf": q_ann_ivf,
-        "embed_neardup": q_embed_neardup,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        "language_id": q_langid,
-        "quality_scores": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "collocations": q_collocations,
-        "frequent_ngrams": q_frequent_ngrams,
-        "next_words": q_next_words,
-        "doc_vectors": q_doc_vectors,
-        "doc_chunks": q_doc_chunks,
-        "pii_redact": q_pii_redact,
-        "repetition_scores": q_repetition,
-        "stratified_sample": q_strat_sample,
-        "epoch_mix": q_epoch_mix,
-        "events_window": q_events_window,
-        "session_stats": q_session_stats,
-        "asof_enrich": q_asof_enrich,
-        "window_rank": q_window_rank,
-        "relational_agg": q_relational_agg,
-        "rollup_agg": q_rollup_agg,
-        "doclen_percentiles": q_doclen_percentiles,
     }
 
 
