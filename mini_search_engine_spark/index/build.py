@@ -58,6 +58,11 @@ class InvertedIndex:
     block_span: int
     positional: bool
     compressed: bool = False
+    # True for statically-pruned tiers (champion lists): the postings no
+    # longer contain every (term, doc) pair, so per-term df must NEVER be
+    # recovered by summing posting counts — only the GLOBAL termstats /
+    # df_cache values keep the "surviving docs score identically" invariant.
+    pruned: bool = False
     tf: DataFrame | None = None  # the persisted tokenize pass (build-side only)
     build_cache: DataFrame | None = None  # the persisted postings+term frame
     # the corpus exchange cache assign_docids attached to the input docs
@@ -1180,6 +1185,7 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
                 "block_span": index.block_span,
                 "positional": index.positional,
                 "compressed": index.compressed,
+                "pruned": index.pruned,
             }
         ),
         mode,
@@ -1204,6 +1210,7 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
         block_span=meta["block_span"],
         positional=meta["positional"],
         compressed=meta["compressed"],
+        pruned=bool(meta.get("pruned", False)),
     )
 
 

@@ -53,10 +53,15 @@ def _trigrams_col(content_col: str):
     a within-row transform, no explode until after the dedup."""
     low = F.lower(F.coalesce(F.col(content_col), F.lit("")))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(low) - 2, F.lit(0))),
+        F.sequence(F.lit(1), F.length(low) - 2),
         lambda i: low.substr(i, F.lit(3)),
     )
-    return F.array_distinct(grams)
+    # sequence(1, len-2) is DESCENDING ([1, 0], [1, 0, -1], ...) for content
+    # shorter than 3 chars, which would emit bogus sub-3-char "trigrams" into
+    # the postings and df stats — short docs must contribute no grams at all.
+    return F.when(F.length(low) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 @dataclass

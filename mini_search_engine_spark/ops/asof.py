@@ -11,7 +11,10 @@ Spark-first shape — the union-merge pattern, NOT a range join:
     union(right-tagged, left-tagged)
       → ONE hash exchange on the key
       → partition-local sort by (ts, side)
-      → last_value(payload, ignoreNulls) running window
+      → last_value(payload STRUCT, ignoreNulls) running window — one
+        atomic struct per right row, so every payload column (and the
+        matched timestamp) comes from the same right row even when some
+        payload values are NULL
       → filter back to left rows
 
 Cost class is a single sort-merge pass: one exchange + one sort,
@@ -96,18 +99,36 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc(), F.col(tie).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(F.col(p), ignorenulls=True).over(w).alias(p) for p in payload]
-    carried_ts = F.last(
-        F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True
-    ).over(w)
+    # ONE struct per right row (NULL for left rows) carried by a single
+    # last(ignorenulls) — payload columns and the matched timestamp are
+    # unpacked from the SAME right row, so a right row whose payload
+    # legitimately contains NULL values never gets stitched with older
+    # rows' values (per-column windows would skip over its NULL fields),
+    # and __match_ts always refers to the row the values came from.
+    pay_struct = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col("__ts").alias("__match_ts"),
+            *[F.col(p).alias(p) for p in payload],
+        ),
+    )
+    carried = F.last(pay_struct, ignorenulls=True).over(w)
 
-    out = u.select(
-        *[F.col(c) for c in left_cols],
-        F.col(_SIDE),
-        F.col("__ts"),
-        carried_ts.alias("__match_ts"),
-        *carried,
-    ).filter(F.col(_SIDE) == 1)
+    out = (
+        u.select(
+            *[F.col(c) for c in left_cols],
+            F.col(_SIDE),
+            F.col("__ts"),
+            carried.alias("__m"),
+        )
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *[F.col(c) for c in left_cols],
+            F.col("__ts"),
+            F.col("__m.__match_ts").alias("__match_ts"),
+            *[F.col(f"__m.{p}").alias(p) for p in payload],
+        )
+    )
 
     if tolerance_s is not None:
         lag_us = F.unix_micros(F.col("__ts").cast("timestamp")) - F.unix_micros(

@@ -238,7 +238,13 @@ def bm25_topk(
     prune_min_blocks: int = 64,
 ) -> DataFrame:
     """BM25 top-k → (docid, score) descending, ties by ascending docid."""
-    if not prune and index.df_cache is not None:
+    # The fused-cold path recovers df as sum(n) over the term's posting
+    # blocks — valid ONLY when the postings are complete. On a pruned
+    # (champion) tier that sum is the capped df and would inflate idf,
+    # breaking prune.py's "surviving docs score identically" invariant
+    # (and disagree with the termstats-fed memo on repeat queries), so
+    # pruned indexes always take the global-termstats probe path below.
+    if not prune and index.df_cache is not None and not index.pruned:
         counts = _analyzed_with_counts(index, keywords)
         if not counts:
             return _empty_scored(index)

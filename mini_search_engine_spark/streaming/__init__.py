@@ -21,6 +21,7 @@ from mini_search_engine_spark.streaming.ingest import (
     write_segment,
 )
 from mini_search_engine_spark.streaming.snapshots import (
+    CommitConflictError,
     Snapshot,
     commit_snapshot,
     current_snapshot,
@@ -30,6 +31,7 @@ from mini_search_engine_spark.streaming.snapshots import (
 )
 
 __all__ = [
+    "CommitConflictError",
     "DEFAULT_MERGE_THRESHOLD",
     "Snapshot",
     "commit_snapshot",

@@ -145,6 +145,7 @@ def write_segment(idx: InvertedIndex, index_path: str, seg_id: str) -> bool:
         segments=[*prev_segs, seg_id],
         folded=snap.folded if snap else (),
         deletes=snap.deletes if snap else (),
+        base=snap,
     )
     return True
 
@@ -243,7 +244,7 @@ def maybe_compact(
     folded = {s for s in seg_ids if not s.startswith(COMPACT_PREFIX)} | (
         set(snap.folded) if snap else set()
     )
-    commit_snapshot(spark, index_path, segments=[new_seg], folded=folded)
+    commit_snapshot(spark, index_path, segments=[new_seg], folded=folded, base=snap)
     snapshot_gc(spark, index_path, retain_snapshots=retain_snapshots)
     return True
 
@@ -346,6 +347,7 @@ def delete_docs(spark: SparkSession, index_path: str, docids) -> Snapshot:
         segments=snap.segments,
         folded=snap.folded,
         deletes=[*snap.deletes, name],
+        base=snap,
     )
 
 
@@ -500,10 +502,16 @@ def percolate_stream(
             return
         docs = load_corpus(batch_df)
         matches = percolate(docs, queries, analyzer=analyzer)
+        # Deterministic per-batch directory + overwrite = idempotent under
+        # replay: a crash between this write and the checkpoint commit
+        # re-runs the batch, which REWRITES the same batch_id=<id> dir
+        # instead of appending duplicate alert rows. Readers still just
+        # spark.read.parquet(alerts_path) — batch_id surfaces as the
+        # partition column.
         (
-            matches.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(alerts_path)
+            matches.write.mode("overwrite").parquet(
+                f"{alerts_path}/batch_id={batch_id}"
+            )
         )
 
     reader = (

@@ -125,31 +125,83 @@ def current_snapshot(spark: SparkSession, index_path: str) -> Snapshot | None:
     return None
 
 
+class CommitConflictError(IOError):
+    """A racing commit made this commit's intent unsatisfiable (e.g. two
+    compactions both tried to fold the same input segments). The caller
+    must re-plan from the new current snapshot; blind retry would corrupt
+    the live state."""
+
+
+_UNSET = object()  # sentinel: "base not supplied, use current at entry"
+
+
+def _state(s: Snapshot | None) -> tuple[set, set, set]:
+    if s is None:
+        return set(), set(), set()
+    return set(s.segments), set(s.folded), set(s.deletes)
+
+
 def commit_snapshot(
     spark: SparkSession,
     index_path: str,
     segments: list[str],
     folded: list[str] | set[str] = (),
     deletes: list[str] | set[str] = (),
+    base: "Snapshot | None" = _UNSET,  # type: ignore[assignment]
 ) -> Snapshot:
     """Atomically commit the next snapshot; returns the committed Snapshot.
 
-    Optimistic concurrency: the file is staged under a temp name and
-    renamed to ``snap-<id>.json``; Hadoop rename fails when the
-    destination exists, so a racing committer loses cleanly and retries
-    with the next id (re-reading is the CALLER's job if it must rebase
-    its segment list — the single-writer streams here never race)."""
+    Optimistic concurrency with REBASE, not blind retry: the desired
+    state is interpreted as a DELTA (segments/deletes added and removed,
+    folded ids added) against ``base`` — the snapshot the CALLER planned
+    from, passed explicitly because data writes can take minutes between
+    the caller's read and this commit. The snapshot file is staged under
+    a temp name and renamed to ``snap-<id>.json``; on HDFS and catalog
+    committers the rename fails when the destination exists, so a racing
+    committer loses cleanly. The delta is then replayed onto whatever
+    snapshot IS current — an ingest commit racing a tombstone commit
+    keeps BOTH the new segment and the new delete file (Iceberg's
+    optimistic-concurrency rebase), instead of the later commit silently
+    reverting the earlier one. If the delta no longer applies (a segment
+    this commit removes/folds was already removed by another committer —
+    two compactions racing), ``CommitConflictError`` is raised; the
+    caller must re-plan, because its physical output is now stale.
+
+    ``base`` omitted = delta against the current snapshot at entry (fine
+    for callers that plan and commit back-to-back).
+
+    Caveat (documented, not fixable here): on ``RawLocalFileSystem``
+    POSIX ``rename(2)`` OVERWRITES an existing destination, so the
+    rename-as-CAS does not hold and local-FS tests do not exercise the
+    race path; the ``fs.exists`` pre-check below narrows but cannot close
+    that window. Real deployments put this on HDFS (atomic fail-if-exists
+    rename) or swap this function for a catalog conditional-put."""
     fs, meta = _hadoop_fs(spark, _meta_path(index_path))
     fs.mkdirs(meta)
-    parent = current_snapshot(spark, index_path)
-    next_id = (parent.snapshot_id + 1) if parent else 0
-    for attempt in range(_MAX_COMMIT_RETRIES):
+    cur = current_snapshot(spark, index_path)
+    if base is _UNSET:
+        base = cur
+    base_seg, base_fold, base_del = _state(base)
+    want_seg, want_fold, want_del = set(segments), set(folded), set(deletes)
+    # the caller's intent, as a delta against the snapshot it planned from
+    seg_add, seg_rm = want_seg - base_seg, base_seg - want_seg
+    fold_add = want_fold - base_fold
+    del_add, del_rm = want_del - base_del, base_del - want_del
+
+    next_id = (cur.snapshot_id + 1) if cur else 0
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        cur_seg, cur_fold, cur_del = _state(cur)
+        if seg_rm - cur_seg:
+            raise CommitConflictError(
+                f"commit at {index_path} removes/folds segments already "
+                f"removed by a racing commit: {sorted(seg_rm - cur_seg)}"
+            )
         snap = Snapshot(
-            snapshot_id=next_id + attempt,
-            segments=list(segments),
-            folded=sorted(set(folded)),
-            parent=parent.snapshot_id if parent else None,
-            deletes=sorted(set(deletes)),
+            snapshot_id=next_id,
+            segments=sorted((cur_seg - seg_rm) | seg_add),
+            folded=sorted(cur_fold | fold_add),
+            parent=cur.snapshot_id if cur else None,
+            deletes=sorted((cur_del - del_rm) | del_add),
         )
         tmp_name = f"{_meta_path(index_path)}/.snap-{snap.snapshot_id}.json.tmp"
         _, tmp = _hadoop_fs(spark, tmp_name)
@@ -161,9 +213,17 @@ def commit_snapshot(
         _, dst = _hadoop_fs(
             spark, f"{_meta_path(index_path)}/snap-{snap.snapshot_id}.json"
         )
-        if fs.rename(tmp, dst):  # the CAS: fails iff someone else committed this id
-            return snap
+        # exists pre-check narrows the local-FS overwrite window (see
+        # docstring); on HDFS the rename itself is the CAS
+        won = (not fs.exists(dst)) and fs.rename(tmp, dst)
         fs.delete(tmp, False)
+        if won:
+            return snap
+        # lost the race → re-read and rebase the delta on the next attempt
+        cur = current_snapshot(spark, index_path)
+        # skip past the contested id even if the winner's file is torn
+        # (unparseable files don't surface through current_snapshot)
+        next_id = max(next_id + 1, (cur.snapshot_id + 1) if cur else 0)
     raise IOError(
         f"snapshot commit lost {_MAX_COMMIT_RETRIES} races at {index_path}"
     )

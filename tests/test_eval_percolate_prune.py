@@ -252,3 +252,24 @@ def test_significant_terms_hand(spark):
     # empty foreground → empty frame with the right schema
     empty = significant_terms(idx, spark.createDataFrame([], "docid long"), topk=5)
     assert empty.count() == 0 and empty.columns == ["term", "fg_df", "bg_df", "score"]
+
+
+def test_champion_warmed_cold_terms_use_global_df(champ_setup):
+    """warm() gives the champion tier a df memo (df_cache={}), making every
+    first-seen term 'cold'. The fused-cold path recovers df by summing
+    posting counts — on a PRUNED tier that is the capped df and would
+    inflate idf (ADVICE r4). Pruned indexes must route to the global
+    termstats probe, so warmed-champion scores equal full-index scores on
+    first ask AND on repeat (the async memo must not change answers)."""
+    idx, tier = champ_setup
+    assert tier.pruned is True
+    warm = tier.warm()
+    try:
+        full = {r["docid"]: r["score"] for r in bm25_topk(idx, ["apple"], topk=10).collect()}
+        first = {r["docid"]: r["score"] for r in bm25_topk(warm, ["apple"], topk=10).collect()}
+        again = {r["docid"]: r["score"] for r in bm25_topk(warm, ["apple"], topk=10).collect()}
+        assert set(first) == {0} and set(again) == {0}
+        assert abs(first[0] - full[0]) < 1e-12, (first, full)
+        assert abs(again[0] - full[0]) < 1e-12, (again, full)
+    finally:
+        warm.unpersist(corpus=False)

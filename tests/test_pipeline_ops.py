@@ -352,3 +352,35 @@ def test_epoch_mix_no_shuffle(spark):
     docs = spark.createDataFrame([(0, "x", "en")], "docid long, content string, lang string")
     plan = epoch_mix(docs, {"en": 1.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """A right row whose payload legitimately contains NULL must be carried
+    WHOLE: per-column last(ignorenulls) windows would stitch its non-NULL
+    columns with an OLDER row's values for the NULL ones (ADVICE r4)."""
+    from datetime import datetime
+
+    from mini_search_engine_spark.ops import asof_join
+
+    def at(m):
+        return datetime(2024, 1, 1, m // 60, m % 60)
+
+    left = spark.createDataFrame(
+        [(0, 1, at(50))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, at(10), 100.0),   # older row, price present
+            (20, 1, at(40), None),    # NEWEST matching row, price NULL
+        ],
+        "quote_id long, user_id long, qts timestamp, price double",
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="qts",
+        payload=["quote_id", "price"], tie_break="quote_id",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the whole newest row: quote_id 20 WITH its NULL price — never
+    # quote_id 20 + price 100.0 stitched from the older row
+    assert r["quote_id"] == 20 and r["price"] is None

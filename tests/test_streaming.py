@@ -436,3 +436,49 @@ def test_percolate_stream_alerts(spark, tmp_path):
     # no duplicate (docid, qid) rows — batch 0 was not replayed
     assert alerts_df.count() == alerts_df.select("docid", "qid").distinct().count()
     assert alerts_df.filter("docid >= 12").count() > 0
+
+
+def test_commit_snapshot_rebases_concurrent_deltas(spark, tmp_path):
+    """An ingest-style commit planned from snapshot S must not revert a
+    tombstone committed between its read of S and its own commit (ADVICE
+    r4): with ``base=S`` the commit is a DELTA rebased onto the current
+    snapshot, so BOTH the new segment and the new delete file survive."""
+    from mini_search_engine_spark.streaming import commit_snapshot, current_snapshot
+
+    p = str(tmp_path / "snap_rebase")
+    s0 = commit_snapshot(spark, p, segments=["a"])
+
+    # committer 1 (delete_docs-style), planned from s0, lands first
+    s1 = commit_snapshot(spark, p, segments=["a"], deletes=["d1"], base=s0)
+    assert s1.deletes == ["d1"]
+
+    # committer 2 (write_segment-style), ALSO planned from s0 — its stale
+    # payload carries no tombstones; the rebase must keep d1 anyway
+    s2 = commit_snapshot(spark, p, segments=["a", "b"], base=s0)
+    assert sorted(s2.segments) == ["a", "b"]
+    assert s2.deletes == ["d1"]
+    assert current_snapshot(spark, p).snapshot_id == s2.snapshot_id
+
+    # compaction planned from s0 (folds 'a', purges nothing it didn't see):
+    # rebased, it must keep segment 'b' and tombstone d1 it never saw
+    s3 = commit_snapshot(spark, p, segments=["c"], folded=["a"], base=s0)
+    assert sorted(s3.segments) == ["b", "c"]
+    assert s3.folded == ["a"] and s3.deletes == ["d1"]
+
+
+def test_commit_snapshot_conflicting_removals_raise(spark, tmp_path):
+    """Two compactions racing over the same input segments: the loser's
+    removal set no longer applies and must surface as a conflict, never a
+    silent overwrite."""
+    from mini_search_engine_spark.streaming import (
+        CommitConflictError,
+        commit_snapshot,
+    )
+
+    p = str(tmp_path / "snap_conflict")
+    s0 = commit_snapshot(spark, p, segments=["a", "b"])
+    # compaction 1 wins: folds a+b into c1
+    commit_snapshot(spark, p, segments=["c1"], folded=["a", "b"], base=s0)
+    # compaction 2, planned from s0, tries to fold the same inputs
+    with pytest.raises(CommitConflictError):
+        commit_snapshot(spark, p, segments=["c2"], folded=["a", "b"], base=s0)

@@ -138,3 +138,29 @@ def test_trigram_index_roundtrip_and_pushdown(spark, corpus, tidx, tmp_path):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(tid" in plan, plan
+
+
+def test_short_docs_contribute_no_grams(spark):
+    """Content under 3 chars must emit NO grams: sequence(1, len-2) is
+    descending there and would otherwise leak bogus 1-2-char 'trigrams'
+    into the postings and df stats (ADVICE r4)."""
+    rows = [
+        (0, "", "en", "t", 0),
+        (1, "a", "en", "t", 0),
+        (2, "ab", "en", "t", 0),
+        (3, "abc", "en", "t", 0),
+    ]
+    corpus = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    idx = build_trigram_index(corpus, block_span=2)
+    try:
+        stats = idx.gramstats.collect()
+        # exactly one gram in the whole corpus: 'abc' from doc 3
+        assert [(r["tid"], r["df"]) for r in stats] == [(_gram_hash_py("abc"), 1)]
+        posts = idx.postings.collect()
+        assert len(posts) == 1 and posts[0]["docids"] == [3]
+    finally:
+        idx.unpersist()
