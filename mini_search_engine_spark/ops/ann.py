@@ -200,6 +200,40 @@ def ivf_fit_centroids(
     return cent
 
 
+def _ivf_partial_sums(vectors: DataFrame, cent: np.ndarray, vec_col: str) -> DataFrame:
+    """One k-means half-step as a per-PARTITION partial: fused
+    assign + unit-normalize + per-list vector sum inside a single
+    ``mapInPandas`` pass, accumulated across the partition's Arrow
+    batches and emitted as ≤ k rows of (ivf_list, sum array, count) PER
+    PARTITION — never one row per (vector, dimension)."""
+    centc = cent.astype(np.float64)
+    k, dim = centc.shape
+
+    def partial(batches):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = (mat @ centc.T).argmax(axis=1)
+            np.add.at(sums, assign, mat)
+            np.add.at(counts, assign, 1)
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "ivf_list": nz.astype(np.int32),
+                "s": [sums[c].tolist() for c in nz],
+                "n": counts[nz],
+            }
+        )
+
+    return vectors.select(vec_col).mapInPandas(
+        partial, "ivf_list int, s array<double>, n long"
+    )
+
+
 def ivf_fit_centroids_distributed(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -212,47 +246,41 @@ def ivf_fit_centroids_distributed(
     (``ivf_fit_centroids`` stays the default: sample-fit is standard IVF
     practice and costs one small job).
 
-    Per iteration: broadcast the (k × dim) centroid matrix into the
-    assignment UDF, then ``posexplode`` each vector and aggregate
-    ``sum(component)`` by (list, dim). Map-side partial aggregation
-    collapses every partition to ≤ k×dim rows before the exchange, so the
-    shuffle is O(partitions × k × dim) regardless of corpus size; only
-    the k×dim result reaches the driver. Init is the ``n_centroids``
-    lowest-id vectors (deterministic, same as the sample fit), so on a
-    corpus the sample fit covers fully the two agree to float-sum order."""
+    Per iteration: the (k × dim) centroid matrix ships in the UDF
+    closure and ONE fused ``mapInPandas`` pass assigns, unit-normalizes
+    and partial-sums every partition down to ≤ k (list, Σvec, count)
+    rows — so the only exchange is O(partitions × k) rows (each carrying
+    a dim-array) into a k-group ``applyInPandas`` reduce, and only k
+    rows reach the driver. No per-(vector, dimension) row ever exists:
+    the r4 ``posexplode`` shape shuffled O(rows × dim) pre-combine rows
+    per iteration, a corpus×dim explosion at 100 TB. Init is the
+    ``n_centroids`` lowest-id vectors (deterministic, same as the sample
+    fit), so on a corpus the sample fit covers fully the two agree to
+    float-sum order."""
     init_rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     cent = np.asarray([list(r[vec_col]) for r in init_rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
+    def reduce_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.stack(pdf["s"].to_numpy()), axis=0)
+        return pd.DataFrame(
+            {"ivf_list": pdf["ivf_list"].iloc[:1], "s": [s.tolist()], "n": [pdf["n"].sum()]}
+        )
+
     for _ in range(n_iter):
-        assigned = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col)
-        # unit-normalize per row BEFORE summing (spherical k-means mean of
-        # unit vectors), elementwise via transform — no Python in the agg
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-        )
-        unit = F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))
-        )
         sums = (
-            assigned.select("ivf_list", F.posexplode(unit).alias("dim", "val"))
-            .groupBy("ivf_list", "dim")
-            .agg(F.sum("val").alias("s"))
+            _ivf_partial_sums(vectors, cent, vec_col)
+            .groupBy("ivf_list")
+            .applyInPandas(reduce_list, "ivf_list int, s array<double>, n long")
             .collect()
         )
         new_cent = cent.copy()
-        acc: dict[int, np.ndarray] = {}
         for r in sums:
-            acc.setdefault(r["ivf_list"], np.zeros(cent.shape[1]))[r["dim"]] = r["s"]
-        for c, v in acc.items():
+            v = np.asarray(r["s"], dtype=np.float64)
             if np.linalg.norm(v) > 0:
-                new_cent[c] = v  # spherical: direction of the sum == mean
+                new_cent[r["ivf_list"]] = v  # spherical: direction of sum == mean
         cent = new_cent
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     return cent

@@ -207,10 +207,10 @@ def test_fingerprints_rolling(dup_corpus):
 
 def test_ivf_distributed_fit_matches_sample_fit(vectors):
     """On a corpus the sample fit covers fully, the distributed k-means
-    (posexplode + map-side partial sums; only k×dim rows reach the driver)
-    must agree with the driver-side sample fit — same deterministic init,
-    same spherical updates — to float-sum order: identical assignments and
-    near-identical centroids."""
+    (fused mapInPandas partial-sums: ≤ k rows per partition, only k rows
+    reach the driver) must agree with the driver-side sample fit — same
+    deterministic init, same spherical updates — to float-sum order:
+    identical assignments and near-identical centroids."""
     import numpy as np
 
     from mini_search_engine_spark.ops import (
@@ -226,6 +226,30 @@ def test_ivf_distributed_fit_matches_sample_fit(vectors):
     a_s = {r["vec_id"]: r["ivf_list"] for r in ivf_assign(vectors, cs).collect()}
     a_d = {r["vec_id"]: r["ivf_list"] for r in ivf_assign(vectors, cd).collect()}
     assert a_s == a_d
+
+
+def test_ivf_distributed_partial_sums_shape(vectors):
+    """The per-iteration exchange must be O(partitions × k) partial rows,
+    never O(rows × dim): the partial frame emits ≤ k rows per input
+    partition, and its plan contains no Generate (posexplode) node."""
+    import numpy as np
+
+    from mini_search_engine_spark.ops import ivf_fit_centroids
+    from mini_search_engine_spark.ops.ann import _ivf_partial_sums
+
+    cent = ivf_fit_centroids(vectors, n_centroids=8, n_iter=1)
+    partial = _ivf_partial_sums(vectors, cent, "embedding")
+    n_parts = vectors.rdd.getNumPartitions()
+    n_vecs = vectors.count()
+    rows = partial.collect()
+    assert len(rows) <= n_parts * 8 < n_vecs  # partial rows, not vector rows
+    assert sum(r["n"] for r in rows) == n_vecs
+    # every list's global sum is the sum of its partials (dim-length arrays)
+    dim = len(rows[0]["s"])
+    assert all(len(r["s"]) == dim for r in rows)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan  # no posexplode anywhere
+    assert "Exchange" not in plan, plan  # partials are partition-local
 
 
 def test_ivf_cosine_topk(vectors):
