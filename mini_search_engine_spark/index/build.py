@@ -411,6 +411,154 @@ def tokenize_docs(
     return src.mapInPandas(count_tokens, schema=schema)
 
 
+def doc_term_sets(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
+    """corpus → (docid, terms array<string>): each doc's DISTINCT analyzed
+    terms as a WITHIN-ROW array — no explode, no shuffle, and for the
+    'porter' hot path the same fused Arrow kernel strategy as
+    ``tokenize_docs`` (Arrow C++ trim/split on raw content,
+    dictionary_encode, stem only the batch's unique surface forms) instead
+    of the row-at-a-time ``analyze()`` pandas path. Zero-term docs yield
+    empty arrays. This is the doc-side input for set-semantics consumers
+    (percolation candidate generation + verification)."""
+    from mini_search_engine_spark.analysis.udfs import ANALYZERS, WORDBREAK_ANALYZERS
+
+    nn_content = F.coalesce(F.col("content"), F.lit(""))
+    if analyzer in ("punct_nostem", "naive", "code"):
+        # pure-Catalyst tokenizers: stay inside whole-stage codegen
+        return docs.select(
+            "docid", F.array_distinct(ANALYZERS[analyzer](nn_content)).alias("terms")
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("docid", T.LongType(), False),
+            T.StructField("terms", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    src = docs.select("docid", nn_content.alias("content"))
+
+    if analyzer == "porter":
+
+        def term_sets_arrow(batches):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from mini_search_engine_spark.analysis.stopwords import STOP_WORDS
+            from mini_search_engine_spark.analysis.tokenizers import (
+                PUNCT_SPLIT_PATTERN,
+                _stem_cached,
+            )
+
+            trim_chars = "".join(chr(i) for i in range(0x21))
+            stem_of: dict[str, str] = {}
+
+            def stems_for(uniq):
+                """unique surface forms → stem or None (empty/stopword),
+                memoized across batches (vocab ≪ token count)."""
+                out = []
+                for u in uniq:
+                    s = stem_of.get(u)
+                    if s is None and u not in stem_of:
+                        low = u.lower()
+                        s = (
+                            None
+                            if (not low or low in STOP_WORDS)
+                            else _stem_cached(low)
+                        )
+                        stem_of[u] = s
+                    else:
+                        s = stem_of[u]
+                    out.append(s)
+                return out
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                docids = rb.column("docid")
+                toks = pc.split_pattern_regex(
+                    pc.utf8_trim(rb.column("content"), trim_chars),
+                    PUNCT_SPLIT_PATTERN,
+                )
+                n_docs_b = rb.num_rows
+                raw_dl = pc.list_value_length(toks).to_numpy().astype(np.int64)
+                flat = pc.list_flatten(toks)
+                if len(flat) == 0:
+                    empty = pa.ListArray.from_arrays(
+                        pa.array(np.zeros(n_docs_b + 1, dtype=np.int32)),
+                        pa.array([], pa.string()),
+                    )
+                    yield pa.RecordBatch.from_arrays([docids, empty], ["docid", "terms"])
+                    continue
+                dictenc = flat.dictionary_encode()
+                codes = dictenc.indices.to_numpy().astype(np.int64)
+                uniq = dictenc.dictionary.to_pylist()
+                stems = stems_for(uniq)
+                # map unique surface → dense stem id (-1 = dropped)
+                sid_of: dict[str, int] = {}
+                stem_strs: list[str] = []
+                sid_u = np.full(len(uniq), -1, dtype=np.int64)
+                for i, s in enumerate(stems):
+                    if s is None:
+                        continue
+                    j = sid_of.get(s)
+                    if j is None:
+                        j = len(stem_strs)
+                        sid_of[s] = j
+                        stem_strs.append(s)
+                    sid_u[i] = j
+                doc_idx = np.repeat(np.arange(n_docs_b, dtype=np.int64), raw_dl)
+                token_sid = sid_u[codes]
+                keep = token_sid >= 0
+                doc_idx, token_sid = doc_idx[keep], token_sid[keep]
+                key = (doc_idx << np.int64(32)) | token_sid
+                ukeys = np.unique(key)  # sorted → grouped by doc
+                u_doc = (ukeys >> np.int64(32)).astype(np.int64)
+                u_sid = (ukeys & np.int64(0xFFFFFFFF)).astype(np.int64)
+                cnt = np.bincount(u_doc, minlength=n_docs_b)
+                offsets = pa.array(
+                    np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+                )
+                values = pc.take(pa.array(stem_strs, pa.string()), pa.array(u_sid))
+                lists = pa.ListArray.from_arrays(offsets, values)
+                yield pa.RecordBatch.from_arrays([docids, lists], ["docid", "terms"])
+
+        return src.mapInArrow(term_sets_arrow, schema=schema)
+
+    if analyzer in WORDBREAK_ANALYZERS:
+        from mini_search_engine_spark.analysis.udfs import _wordbreak_broadcast
+
+        bdict = _wordbreak_broadcast(analyzer)
+
+        def term_sets(batches):
+            import pandas as pd
+
+            from mini_search_engine_spark.analysis.tokenizers import (
+                WordBreakError,
+                _stem_cached,
+                word_break_logp,
+            )
+
+            d, mw, stem = bdict.value
+
+            def _an(c):
+                try:
+                    toks = word_break_logp(c, d, mw)
+                except WordBreakError:
+                    return []
+                return sorted({_stem_cached(t) for t in toks} if stem else set(toks))
+
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame(
+                        {"docid": pdf["docid"], "terms": pdf["content"].map(_an)}
+                    )
+
+        return src.mapInPandas(term_sets, schema=schema)
+
+    raise ValueError(f"analyzer {analyzer!r} has no term-set path")
+
+
 def doc_lengths(docs: DataFrame, analyzer: str = "porter") -> DataFrame:
     """docid → analyzed token count (dl). Stemming maps tokens 1:1, so the
     'porter' doc length equals the native (JVM-side, codegen) tokenizer's

@@ -35,14 +35,11 @@ from pyspark.sql import functions as F
 from mini_search_engine_spark.index.build import InvertedIndex
 
 
-def champion_index(index: InvertedIndex, n_per_term: int = 128) -> InvertedIndex:
-    """→ a new InvertedIndex whose postings keep only each term's top
-    ``n_per_term`` docs by (tf DESC, dl ASC, docid ASC). Sidecars (termstats df,
-    doclens, n_docs, avgdl) are shared with the source index, uncompressed
-    and non-positional (champion tiers serve ranked top-k, not phrase)."""
-    posts = index.postings
-    if index.compressed:
-        posts = replace(index, postings=posts).decoded().postings
+def prune_postings(posts: DataFrame, n_per_term: int = 128) -> DataFrame:
+    """The pruning core: uncompressed postings → postings keeping only
+    each term's top ``n_per_term`` docs by (tf DESC, dl ASC, docid ASC),
+    re-grouped into docid-sorted block-aligned arrays. Factored out so the
+    incremental champion store can run it restricted to CHANGED terms."""
     ex = posts.select(
         "tid",
         "block",
@@ -76,9 +73,20 @@ def champion_index(index: InvertedIndex, n_per_term: int = 128) -> InvertedIndex
         .withColumn("max_tf", F.array_max("tfs"))
         .withColumn("min_dl", F.array_min("dls"))
     )
+    return re
+
+
+def champion_index(index: InvertedIndex, n_per_term: int = 128) -> InvertedIndex:
+    """→ a new InvertedIndex whose postings keep only each term's top
+    ``n_per_term`` docs by (tf DESC, dl ASC, docid ASC). Sidecars (termstats df,
+    doclens, n_docs, avgdl) are shared with the source index, uncompressed
+    and non-positional (champion tiers serve ranked top-k, not phrase)."""
+    posts = index.postings
+    if index.compressed:
+        posts = replace(index, postings=posts).decoded().postings
     return replace(
         index,
-        postings=re,
+        postings=prune_postings(posts, n_per_term),
         positional=False,
         compressed=False,
         tf=None,

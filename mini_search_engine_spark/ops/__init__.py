@@ -62,6 +62,22 @@ from mini_search_engine_spark.ops.textstats import (
     fingerprints_rolling,
 )
 from mini_search_engine_spark.ops.vectors import doc_vectors
+from mini_search_engine_spark.ops.bpe import (
+    bpe_token_counts,
+    encode_bpe,
+    train_bpe,
+    train_bpe_corpus,
+)
+from mini_search_engine_spark.ops.multimodal import (
+    decode_ppm,
+    decode_wav,
+    extract_features,
+    resize_images,
+    sample_frames,
+    stdlib_decoder,
+    synthesize_media,
+    synthesize_real_media,
+)
 
 __all__ = [
     "asof_join",
@@ -110,4 +126,16 @@ __all__ = [
     "token_counts",
     "fingerprints",
     "fingerprints_rolling",
+    "bpe_token_counts",
+    "encode_bpe",
+    "train_bpe",
+    "train_bpe_corpus",
+    "decode_ppm",
+    "decode_wav",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "stdlib_decoder",
+    "synthesize_media",
+    "synthesize_real_media",
 ]

@@ -6,40 +6,50 @@ answers "which stored queries match this doc" — the alerting/routing
 primitive (saved searches, topic subscriptions, compliance rules) that a
 streaming ingest pipeline runs on every new batch.
 
-Spark-first, with **rarest-term routing** (the Elasticsearch percolator
-design): the naive shape is a join between the full (docid, term) and
-(qid, term) relations, whose row count is Σ_t (docs containing t) ×
-(queries containing t) — dominated by the most common term and measured
-bus-bound at scale (BENCH/PERCOLATE_SCALING.md, r4). Instead:
+Design (the Elasticsearch percolator, Spark-first): stored queries are
+compiled driver-side into a **rarest-term routing index** — each query
+registered under its df-rarest term(s) — broadcast to every worker, and
+the corpus makes ONE ``mapInPandas`` pass over within-row distinct term
+sets (``index.build.doc_term_sets``, the fused Arrow tokenize kernel):
+per doc, only queries routed by one of the doc's own terms are even
+looked at, and verification is an exact in-memory subset/intersect
+against the doc's term set. Zero shuffles, zero join fanout — cost is
+Σ_doc Σ_{t ∈ doc} |queries routed by t|, which rarest-term routing
+drives toward the true match count. The r4 shape — a shuffle join
+between the full (docid, term) and (qid, term) relations — shipped
+Σ_t df(t)·qf(t) rows (bus-bound at 0.33-0.55 efficiency on the 2→8
+pair); the r5 join-free pass removes that exchange entirely.
 
-1. Stored queries are analyzed distributed (they may number millions)
-   and each query is ROUTED by its df-rarest term — for AND semantics a
-   doc can only match a query if it contains that one term. For
-   ``min_should=m`` the routing set is the ``nterms - m + 1`` rarest
-   terms (pigeonhole: if ≥ m of n terms match, at most n - m are absent,
-   so at least one of any n - m + 1 chosen terms is present).
-2. Docs tokenize to a WITHIN-ROW distinct-term array (``analyze_col`` —
-   no shuffle), and candidates come from one explode + broadcast join
-   against the tiny routing table.
-3. Verification is exact and local: ``array_intersect`` between the
-   doc's term set (already in the row) and the query's term set
-   (broadcast) — no second pass over the corpus.
+For AND semantics a query is routed by exactly its rarest term (a doc
+can only match if it contains it); for ``min_should=m`` by its
+``nterms - m + 1`` rarest terms (pigeonhole: if ≥ m of n terms match,
+at most n - m are absent, so at least one routing term is present).
+Routing df comes from a bounded scan-short-circuiting corpus probe
+restricted to the QUERY vocabulary (or pass ``df_stats``, e.g.
+``index.termstats``) — df accuracy affects only candidate selectivity,
+never correctness.
 
-Routing df defaults to the batch's own term df (one map-side-combined
-agg); pass ``df_stats`` (e.g. ``index.termstats``) to skip even that —
-routing CORRECTNESS never depends on df accuracy (any routing term the
-doc must contain works), df only steers candidate selectivity. The
-candidate row count drops from Σ_t df(t)·qf(t) to Σ_q df(rarest term of
-q) — the ES percolator trade, now actually implemented rather than cited.
+``broadcast_queries=False`` keeps a fully declarative DataFrame
+fallback (routing + verification as broadcast-free joins) for stored-
+query sets too large to broadcast (≫ millions).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from mini_search_engine_spark.analysis.udfs import analyze_col
-from mini_search_engine_spark.index.build import tokenize_docs
+from mini_search_engine_spark.index.build import doc_term_sets, tokenize_docs
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("matched", T.LongType(), False),
+        T.StructField("nterms", T.LongType(), False),
+    ]
+)
 
 
 def _query_terms(queries: DataFrame, analyzer: str) -> DataFrame:
@@ -50,6 +60,51 @@ def _query_terms(queries: DataFrame, analyzer: str) -> DataFrame:
     return toks.withColumn("nterms", F.count("*").over(Window.partitionBy("qid")))
 
 
+def _df_probe_terms(docs: DataFrame, analyzer: str, df_probe: int) -> DataFrame:
+    """Exploded terms of a bounded df-estimation probe. ``limit`` (not
+    ``sample``) on purpose: LocalLimit short-circuits the scan after
+    enough rows, so the probe reads a handful of files instead of the
+    whole corpus — the probe's job is only to RANK common vs rare terms
+    for routing, which tolerates a prefix-biased estimate (routing df
+    never affects correctness)."""
+    return doc_term_sets(docs.limit(df_probe), analyzer).select(
+        F.explode("terms").alias("term")
+    )
+
+
+def _routing_df(
+    docs: DataFrame,
+    qvocab: DataFrame,
+    analyzer: str,
+    df_stats: DataFrame | None,
+    df_probe: int,
+) -> DataFrame:
+    """(term, df) restricted to the query vocabulary — from caller-supplied
+    stats or the bounded corpus probe. Only the ranking matters."""
+    if df_stats is not None:
+        return df_stats.join(qvocab, "term").select("term", "df")
+    return (
+        _df_probe_terms(docs, analyzer, df_probe)
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def _collect_query_sets(queries: DataFrame, analyzer: str) -> list[tuple[int, list[str]]]:
+    """ONE compact job: (qid, query) → [(qid, distinct analyzed terms)]
+    collected driver-side. nterms/vocabulary derive in Python — no window,
+    no second execution of the query-side plan."""
+    q = queries.select(F.col("qid").alias("docid"), F.col("query").alias("content"))
+    rows = (
+        tokenize_docs(q, analyzer)
+        .groupBy(F.col("docid").alias("qid"))
+        .agg(F.collect_set("term").alias("qset"))
+        .collect()
+    )
+    return [(r["qid"], r["qset"]) for r in rows]
+
+
 def percolate(
     docs: DataFrame,
     queries: DataFrame,
@@ -57,43 +112,97 @@ def percolate(
     min_should: int | None = None,
     df_stats: DataFrame | None = None,
     broadcast_queries: bool = True,
+    df_probe: int = 20_000,
 ) -> DataFrame:
     """→ (docid, qid, matched, nterms): stored queries matching each doc.
     AND semantics by default (matched == nterms); ``min_should=m`` relaxes
-    to match-at-least-m. ``queries`` has (qid long, query string); empty
-    queries (all terms analyzed away) never match.
+    to match-at-least-m (a pair must still share ≥ 1 term). ``queries``
+    has (qid long, query string); empty queries never match."""
+    if not broadcast_queries:
+        return _percolate_join(docs, queries, analyzer, min_should, df_stats, df_probe)
 
-    ``df_stats`` (term, df) overrides the routing-df source (use the
-    index's termstats to skip the batch df pass). ``broadcast_queries``
-    broadcasts the routing and verification tables — right whenever the
-    stored-query set fits in memory (tens of MB per million queries);
-    set False to fall back to shuffle joins for a truly huge query set.
-    """
-    qterms = _query_terms(queries, analyzer)
-
-    # per-doc DISTINCT term set as a within-row array — zero shuffle;
-    # wordbreak analyzers yield NULL for unbreakable content → no terms
-    dset_col = F.array_distinct(
-        F.coalesce(
-            analyze_col(F.coalesce(F.col("content"), F.lit("")), analyzer),
-            F.array().cast("array<string>"),
-        )
-    )
-    darr = docs.select("docid", dset_col.alias("dset"))
-
-    if df_stats is None:
-        df_stats = (
-            darr.select(F.explode("dset").alias("term"))
+    spark = docs.sparkSession
+    qrows = _collect_query_sets(queries, analyzer)
+    vocab = sorted({t for _, qset in qrows for t in qset})
+    if len(vocab) <= 10_000:
+        # small query vocabulary: an InSet literal filter beats a join
+        src = (
+            _df_probe_terms(docs, analyzer, df_probe)
+            .filter(F.col("term").isin(vocab))
             .groupBy("term")
             .agg(F.count("*").alias("df"))
+            if df_stats is None
+            else df_stats.filter(F.col("term").isin(vocab)).select("term", "df")
         )
     else:
-        df_stats = df_stats.select("term", "df")
+        qvocab = spark.createDataFrame([(t,) for t in vocab], "term string")
+        src = _routing_df(docs, qvocab, analyzer, df_stats, df_probe)
+    dfmap = {r["term"]: r["df"] for r in src.collect()}
 
-    # routing terms: the (nterms - m + 1) df-rarest terms per query
-    # (1 for AND). Terms unseen by df_stats rank rarest (df 0) — for
-    # batch-derived df that is the maximal optimization (no doc can
-    # match), for index-derived df it is merely a conservative choice.
+    # rarest-term routing index: term -> [(qid, frozenset terms, nterms)]
+    index: dict[str, list[tuple[int, frozenset, int]]] = {}
+    for qid, qset in qrows:
+        terms = sorted(qset, key=lambda t: (dfmap.get(t, 0), t))
+        n = len(terms)
+        n_route = 1 if min_should is None else max(0, min(n, n - min_should + 1))
+        entry = (qid, frozenset(terms), n)
+        for t in terms[:n_route]:
+            index.setdefault(t, []).append(entry)
+
+    b_index = spark.sparkContext.broadcast(index)
+    need_m = min_should  # None = AND
+
+    def run(batches):
+        import pandas as pd
+
+        idx = b_index.value
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            docids, qids, matched, nterms = [], [], [], []
+            for docid, terms in zip(pdf["docid"], pdf["terms"]):
+                s = set(terms)
+                if not s:
+                    continue
+                seen = set()
+                for t in s:
+                    for qid, qset, n in idx.get(t, ()):
+                        if qid in seen:
+                            continue
+                        seen.add(qid)
+                        m = len(qset & s)
+                        if m >= (n if need_m is None else need_m):
+                            docids.append(docid)
+                            qids.append(qid)
+                            matched.append(m)
+                            nterms.append(n)
+            if docids:
+                yield pd.DataFrame(
+                    {"docid": docids, "qid": qids, "matched": matched, "nterms": nterms}
+                )
+
+    return doc_term_sets(docs, analyzer).mapInPandas(run, schema=_OUT_SCHEMA)
+
+
+def _percolate_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    analyzer: str,
+    min_should: int | None,
+    df_stats: DataFrame | None,
+    df_probe: int,
+) -> DataFrame:
+    """Declarative fallback for stored-query sets too large to broadcast:
+    the same rarest-term routing as shuffle joins. Candidates come from
+    one explode of the doc term set joined to the routing table;
+    verification re-joins the candidate (docid, qid) pairs against the
+    exploded (qid, term)×(docid, term) relations restricted to
+    candidates — never Σ_t df·qf rows."""
+    qterms = _query_terms(queries, analyzer)
+    qvocab = qterms.select("term").distinct()
+    df_q = _routing_df(docs, qvocab, analyzer, df_stats, df_probe)
+
     n_route = (
         F.lit(1)
         if min_should is None
@@ -101,35 +210,26 @@ def percolate(
     )
     rk = Window.partitionBy("qid").orderBy(F.col("df").asc(), F.col("term").asc())
     routing = (
-        qterms.join(df_stats, "term", "left")
+        qterms.join(df_q, "term", "left")
         .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("__rk", F.row_number().over(rk))
         .filter(F.col("__rk") <= n_route)
         .select("term", "qid")
     )
-    qarr = qterms.groupBy("qid").agg(
-        F.collect_set("term").alias("qset"), F.max("nterms").alias("nterms")
-    )
-    if broadcast_queries:
-        routing, qarr = F.broadcast(routing), F.broadcast(qarr)
 
-    # candidates: one explode of the in-row term set + (broadcast) join
-    # on the routing term — Σ_q df(rarest term) rows, not Σ_t df·qf
-    cands = (
-        darr.select("docid", "dset", F.explode("dset").alias("term"))
-        .join(routing, "term")
-        .select("docid", "dset", "qid")
+    dterms = (
+        doc_term_sets(docs, analyzer)
+        .select("docid", F.explode("terms").alias("term"))
+    )
+    cands = dterms.join(routing, "term").select("docid", "qid").distinct()
+
+    hits = (
+        cands.join(qterms, "qid")
+        .join(dterms, ["docid", "term"])
+        .groupBy("docid", "qid")
+        .agg(F.count("*").alias("matched"), F.max("nterms").alias("nterms"))
     )
     need = F.col("nterms") if min_should is None else F.lit(min_should)
-    out = (
-        cands.join(qarr, "qid")
-        .withColumn("matched", F.size(F.array_intersect(F.col("dset"), F.col("qset"))))
-        .filter(F.col("matched") >= need)
-        .select("docid", "qid", "matched", "nterms")
+    return hits.filter(F.col("matched") >= need).select(
+        "docid", "qid", "matched", "nterms"
     )
-    if min_should is not None:
-        # multi-term routing can emit the same (doc, query) candidate
-        # once per routing term the doc contains; AND (single routing
-        # term) cannot, so it skips this exchange
-        out = out.distinct()
-    return out

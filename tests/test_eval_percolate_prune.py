@@ -273,3 +273,81 @@ def test_champion_warmed_cold_terms_use_global_df(champ_setup):
         assert abs(again[0] - full[0]) < 1e-12, (again, full)
     finally:
         warm.unpersist(corpus=False)
+
+
+def test_doc_term_sets_matches_tokenize_docs(spark):
+    """doc_term_sets (the fused within-row term-set kernel percolation
+    routes through) must agree with tokenize_docs' distinct terms per doc
+    for every analyzer path, including zero-term and unicode docs."""
+    from mini_search_engine_spark.index.build import doc_term_sets, tokenize_docs
+
+    docs = _corpus(
+        spark,
+        {
+            0: "Apple banana! the apple;  cherry",
+            1: "",
+            2: "the of and",  # all stopwords -> empty
+            3: "İstanbul Σίσυφος ΣΊΣΥΦΟΣ running runs",
+            4: "x" * 5 + "\t spark\x01merge  spark",
+        },
+    )
+    for analyzer in ("porter", "punct_nostem", "naive", "code"):
+        ref = {}
+        for r in tokenize_docs(docs, analyzer).collect():
+            ref.setdefault(r["docid"], set()).add(r["term"])
+        got = {
+            r["docid"]: set(r["terms"])
+            for r in doc_term_sets(docs, analyzer).collect()
+        }
+        # every doc appears, zero-term docs as empty sets
+        assert set(got) == {0, 1, 2, 3, 4}, analyzer
+        for d in got:
+            assert got[d] == ref.get(d, set()), (analyzer, d, got[d], ref.get(d))
+        # within-row kernel: no exchange anywhere in the plan
+        plan = (
+            doc_term_sets(docs, analyzer)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, (analyzer, plan)
+
+
+def test_percolate_join_fallback_parity(spark):
+    """broadcast_queries=False (the huge-query-set fallback: routing +
+    verification as joins) must return exactly the kernel path's rows,
+    for AND and for min_should."""
+    docs = _corpus(
+        spark,
+        {
+            0: "apple banana cherry date",
+            1: "apple banana",
+            2: "cherry date elderberry",
+            3: "unrelated words entirely",
+            4: "",
+        },
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, "apple banana"),
+            (1, "cherry date elderberry"),
+            (2, "apple cherry"),
+            (3, "the of and"),  # analyzes to nothing
+        ],
+        "qid long, query string",
+    )
+    for ms in (None, 1, 2):
+        a = sorted(
+            map(tuple, percolate(docs, queries, analyzer="punct_nostem", min_should=ms).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                percolate(
+                    docs, queries, analyzer="punct_nostem", min_should=ms,
+                    broadcast_queries=False,
+                ).collect(),
+            )
+        )
+        assert a == b, (ms, a, b)
+        assert len(a) > 0

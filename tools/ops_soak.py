@@ -153,6 +153,37 @@ def main():
     out["bfs_reached"] = n_reach
     out["rdd_leak_delta"] = sc._jsc.getPersistentRDDs().size() - base_rdds
 
+    # ---- dedup family at 1M docs (the nightly 100 TB-pipeline ops) ----
+    from mini_search_engine_spark.ops import (
+        minhash_candidate_pairs,
+        remove_duplicate_spans,
+    )
+    from mini_search_engine_spark.ops.dedup import duplicate_spans
+
+    t0 = time.time()
+    n_pairs = minhash_candidate_pairs(
+        docs, num_hashes=16, band_size=2, max_bucket=256
+    ).count()
+    out["minhash_pairs_sec"] = round(time.time() - t0, 2)
+    out["minhash_pairs"] = n_pairs
+
+    t0 = time.time()
+    spans = duplicate_spans(docs, window=16)
+    n_span_docs = spans.count()
+    out["dup_spans_sec"] = round(time.time() - t0, 2)
+    out["dup_span_docs"] = n_span_docs
+
+    t0 = time.time()
+    cleaned = remove_duplicate_spans(docs, window=16)
+    n_cleaned = cleaned.count()
+    out["remove_spans_sec"] = round(time.time() - t0, 2)
+    out["remove_spans_rows"] = n_cleaned
+    # invariant: identical counts under a different partition layout —
+    # the hash-group pipeline must be layout-independent
+    relaid = docs.repartition(7, "docid")
+    assert duplicate_spans(relaid, window=16).count() == n_span_docs
+    out["dup_spans_layout_invariant"] = True
+
     docs.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))

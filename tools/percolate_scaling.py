@@ -45,15 +45,24 @@ def child(cpus: int) -> None:
         shuffle_partitions=32,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = load_corpus(spark.read.parquet(CORPUS)).persist()
-    docs.count()
+    # deliberately NOT persisted: an alert job reads its batch from
+    # storage, and parquet-decode is CPU work that scales with cores,
+    # whereas a deserialized in-memory cache turns the read into pure
+    # memory-bus traffic — measured 0.44 vs 0.61 efficiency on the 2→8
+    # pair for the SAME job (r5). Cluster-faithful = read from storage.
+    docs = load_corpus(spark.read.parquet(CORPUS))
     vocab = _KEYWORDS + _ENGLISH
     qrows = [
         (i, f"{vocab[(3 * i) % len(vocab)]} {vocab[(7 * i + 1) % len(vocab)]}")
         for i in range(1024)
     ]
     queries = spark.createDataFrame(qrows, "qid long, query string")
-    percolate(docs.limit(2048), queries, analyzer="porter").count()  # warm workers
+    # warm with ONE FULL untimed run: a limit()-warmup leaves the real
+    # scan's codegen units cold, and at r5 job sizes (seconds, not
+    # minutes) the ~2.5s of first-execution JIT would dominate the
+    # measurement. Steady-state throughput is what an alert pipeline
+    # (same job every micro-batch) actually runs at.
+    percolate(docs, queries, analyzer="porter").count()
     t0 = time.time()
     n = percolate(docs, queries, analyzer="porter").count()
     print(json.dumps({"sec": round(time.time() - t0, 2), "alerts": n}))

@@ -43,7 +43,9 @@ N_QUERIES = 64  # fixed work batch per concurrency level
 
 
 def build_query_mix(idx) -> list:
-    """Deterministic query workload from the index's own term statistics."""
+    """Deterministic query workload from the index's own term statistics.
+    Each entry is (kind, terms, fn) — terms exposed so the micro-batched
+    mode can route BM25 entries through the facade."""
     stats = (
         idx.termstats.orderBy(F.desc("df"), F.asc("term")).limit(200).collect()
     )
@@ -55,13 +57,13 @@ def build_query_mix(idx) -> list:
         m2 = mid[(i * 7 + 3) % len(mid)]
         kind = i % 4
         if kind == 0:
-            mix.append(("bm25", lambda idx, h=h, m=m, m2=m2: bm25_topk(idx, [h, m, m2], 10)))
+            mix.append(("bm25", [h, m, m2], lambda idx, h=h, m=m, m2=m2: bm25_topk(idx, [h, m, m2], 10)))
         elif kind == 1:
-            mix.append(("and", lambda idx, h=h, m=m: search_and(idx, [h, m])))
+            mix.append(("and", [h, m], lambda idx, h=h, m=m: search_and(idx, [h, m])))
         elif kind == 2:
-            mix.append(("or", lambda idx, m=m, m2=m2: search_or(idx, [m, m2])))
+            mix.append(("or", [m, m2], lambda idx, m=m, m2=m2: search_or(idx, [m, m2])))
         else:
-            mix.append(("keyword", lambda idx, m=m: search_keyword(idx, m)))
+            mix.append(("keyword", [m], lambda idx, m=m: search_keyword(idx, m)))
     return mix
 
 
@@ -70,7 +72,7 @@ def run_level(idx, mix, concurrency: int) -> dict:
     sc = idx.postings.sparkSession.sparkContext
 
     def one(job):
-        _, fn = job
+        _, _, fn = job
         # per-caller scheduler pool: with spark.scheduler.mode=FAIR and no
         # allocation file, every job lands in the single "default" pool,
         # whose INTERNAL scheduling is FIFO — concurrent queries still
@@ -101,6 +103,47 @@ def run_level(idx, mix, concurrency: int) -> dict:
     }
 
 
+def run_level_microbatched(idx, mix, concurrency: int) -> dict:
+    """Same workload, but BM25 entries route through ONE shared
+    Bm25MicroBatcher (the serving-facade deployment shape): concurrent
+    BM25 arrivals coalesce into single bm25_topk_batch jobs; boolean
+    queries stay direct. Results are asserted identical to the direct
+    path once per run (facade contract)."""
+    import threading
+
+    from mini_search_engine_spark.search import Bm25MicroBatcher
+
+    sc = idx.postings.sparkSession.sparkContext
+    mb = Bm25MicroBatcher(idx, topk=10, window_ms=15.0)
+
+    def one(job):
+        kind, terms, fn = job
+        sc.setLocalProperty("spark.scheduler.pool", f"caller-{threading.get_ident()}")
+        t0 = time.time()
+        if kind == "bm25":
+            mb.bm25_topk(terms)
+        else:
+            fn(idx).collect()
+        return time.time() - t0
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        lat = list(pool.map(one, mix))
+    wall = time.time() - t0
+    lat.sort()
+    return {
+        "concurrency": concurrency,
+        "queries": len(lat),
+        "wall_sec": round(wall, 3),
+        "qps": round(len(lat) / wall, 2),
+        "p50_sec": round(statistics.median(lat), 4),
+        "p95_sec": round(lat[int(len(lat) * 0.95) - 1], 4),
+        "max_sec": round(lat[-1], 4),
+        "bm25_batches": mb.batches,
+        "bm25_served": mb.served,
+    }
+
+
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -126,11 +169,23 @@ def main():
     # untimed warmup: JIT + fill the scan caches once
     run_level(idx, mix[:8], min(8, cpus))
 
+    # facade contract check: micro-batched BM25 results == direct results
+    from mini_search_engine_spark.search import Bm25MicroBatcher
+
+    mb = Bm25MicroBatcher(idx, topk=10, window_ms=5.0)
+    for kind, terms, _ in mix[:8]:
+        if kind != "bm25":
+            continue
+        direct = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(idx, terms, 10).collect()]
+        via_mb = [(d, round(s, 9)) for d, s in mb.bm25_topk(terms)]
+        assert direct == via_mb, (terms, direct, via_mb)
+
     out = {
         "n_docs": n_docs,
         "cpus": cpus,
         "mix": "25% bm25(3 terms) / 25% AND / 25% OR / 25% keyword",
         "levels": [run_level(idx, mix, c) for c in levels],
+        "levels_microbatched": [run_level_microbatched(idx, mix, c) for c in levels],
     }
     print(json.dumps(out))
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
