@@ -58,6 +58,7 @@ def ingest_stream(
     available_now: bool = True,
     auto_compact: bool = False,
     merge_threshold: int = DEFAULT_MERGE_THRESHOLD,
+    auto_champion: int | None = None,
 ):
     """Stream corpus files from ``input_path`` into per-batch index segments.
 
@@ -71,6 +72,13 @@ def ingest_stream(
     addDocument the same way). Default off — a production stream keeps
     triggers short and runs ``maybe_compact`` as a separate maintenance
     job against the same segment root.
+
+    ``auto_champion=n`` keeps a serving champion tier (top-``n`` postings
+    per term, ``index.champion_store``) in step with the stream: after
+    each committed segment the tier refreshes INCREMENTALLY (only the
+    new segment's terms re-prune); after a compaction or delete it
+    rebuilds. Default off for the same reason as ``auto_compact`` —
+    production runs ``refresh_champion`` as a separate maintenance job.
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -100,6 +108,18 @@ def ingest_stream(
                 threshold=merge_threshold,
                 analyzer=analyzer,
                 positional=positional,
+                block_span=block_span,
+            )
+        if auto_champion is not None:
+            from mini_search_engine_spark.index.champion_store import (
+                refresh_champion,
+            )
+
+            refresh_champion(
+                spark,
+                index_path,
+                n_per_term=auto_champion,
+                analyzer=analyzer,
                 block_span=block_span,
             )
 

@@ -131,3 +131,32 @@ def test_champion_refresh_full_on_delete_and_compact(spark, tmp_path):
 def test_champion_refresh_requires_snapshot(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         refresh_champion(spark, str(tmp_path / "nope"))
+
+
+def test_ingest_stream_auto_champion(spark, tmp_path):
+    """The VERDICT contract end-to-end: ingest_stream(auto_champion=n)
+    keeps the on-disk tier in step with the stream — after the stream
+    drains, the tier equals a from-scratch champion_index of the
+    segmented index (hash-equal postings), refreshed incrementally."""
+    from mini_search_engine_spark.streaming.ingest import ingest_stream
+
+    inp = str(tmp_path / "in")
+    idxp = str(tmp_path / "auto_champ")
+    spark.createDataFrame(_rows(0, 40), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = ingest_stream(
+        spark, inp, idxp, SCHEMA, analyzer="porter", block_span=8, auto_champion=4
+    )
+    q.awaitTermination(120)
+    # second run: new files only -> incremental refresh path
+    spark.createDataFrame(_rows(40, 80), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q2 = ingest_stream(
+        spark, inp, idxp, SCHEMA, analyzer="porter", block_span=8, auto_champion=4
+    )
+    q2.awaitTermination(120)
+
+    tier = read_champion(spark, idxp)
+    scratch = champion_index(
+        read_segmented_index(spark, idxp, block_span=8), n_per_term=4
+    )
+    assert _postings_dict(tier) == _postings_dict(scratch)
+    assert tier.n_docs == 80

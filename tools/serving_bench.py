@@ -10,8 +10,9 @@ The query mix is derived deterministically from the corpus itself
 (top-df terms → stopword-grade load; mid-df terms → selective load):
 25% BM25 top-10 (3 terms), 25% AND, 25% OR, 25% keyword.
 
-Usage: python tools/serving_bench.py [n_docs] [cpus] [concurrency,...]
-       (defaults 300000, 32, "1,4,16,32")
+Usage: python tools/serving_bench.py [n_docs] [cpus] [concurrency,...] [mix]
+       (defaults 300000, 32, "1,4,16,32", mixed; mix=bm25 = BM25-only
+       workload — the traffic shape the micro-batching facade exists for)
 Prints one JSON line; numbers go into BENCH/SERVING.md.
 """
 
@@ -148,6 +149,7 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     levels = [int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3 else (1, 4, 16, 32))]
+    mix_kind = sys.argv[4] if len(sys.argv) > 4 else "mixed"
     spark = get_spark(
         app_name="mse-serving",
         master=f"local[{cpus}]",
@@ -165,6 +167,8 @@ def main():
         docs, analyzer="porter", compress=True, local_blocks=True
     ).warm()
     mix = build_query_mix(idx)
+    if mix_kind == "bm25":  # every entry BM25: the facade's target traffic
+        mix = [m for m in mix if m[0] == "bm25"] * 4
 
     # untimed warmup: JIT + fill the scan caches once
     run_level(idx, mix[:8], min(8, cpus))
@@ -183,13 +187,13 @@ def main():
     out = {
         "n_docs": n_docs,
         "cpus": cpus,
-        "mix": "25% bm25(3 terms) / 25% AND / 25% OR / 25% keyword",
+        "mix": mix_kind,
         "levels": [run_level(idx, mix, c) for c in levels],
         "levels_microbatched": [run_level_microbatched(idx, mix, c) for c in levels],
     }
     print(json.dumps(out))
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/serving.json", "w") as f:
+    with open(f"{REPO}/BENCH/serving{'' if mix_kind == 'mixed' else '_' + mix_kind}.json", "w") as f:
         json.dump(out, f)
     spark.stop()
 
