@@ -231,6 +231,19 @@ def main():
 
     timed_ext("bm25_seq16", _seq16)
 
+    # 16 CONCURRENT callers through the micro-batching facade — the
+    # serving-tier deployment shape (coalesces to ~1-2 jobs per window)
+    def _micro16():
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mini_search_engine_spark.search import Bm25MicroBatcher
+
+        mb = Bm25MicroBatcher(idx, topk=10, window_ms=15)
+        with ThreadPoolExecutor(16) as pool:
+            list(pool.map(mb.bm25_topk, _batch_terms))
+
+    timed_ext("bm25_micro16", _micro16)
+
     # boolean query language, collocations, structured serving
     from mini_search_engine_spark.ops import collocations
     from mini_search_engine_spark.search import (

@@ -55,7 +55,7 @@ from mini_search_engine_spark.search.pagerank import (
 from mini_search_engine_spark.search.related import related_docs
 from mini_search_engine_spark.search.feedback import bm25_prf, expansion_terms
 from mini_search_engine_spark.search.ranking import bm25_topk_weighted
-from mini_search_engine_spark.search.percolate import percolate
+from mini_search_engine_spark.search.percolate import Percolator, percolate
 from mini_search_engine_spark.search.serving import Bm25MicroBatcher
 from mini_search_engine_spark.search.evalmetrics import macro_metrics, relevance_metrics
 
@@ -108,6 +108,7 @@ __all__ = [
     "expansion_terms",
     "bm25_topk_weighted",
     "Bm25MicroBatcher",
+    "Percolator",
     "percolate",
     "relevance_metrics",
     "macro_metrics",

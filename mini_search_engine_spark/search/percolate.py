@@ -105,6 +105,115 @@ def _collect_query_sets(queries: DataFrame, analyzer: str) -> list[tuple[int, li
     return [(r["qid"], r["qset"]) for r in rows]
 
 
+class Percolator:
+    """COMPILED stored-query set: analyze the queries and (optionally)
+    build the rarest-term routing index ONCE, then ``match(docs)`` any
+    number of document batches with only the kernel pass per batch — the
+    shape a streaming alert pipeline wants (``percolate_stream`` compiles
+    one Percolator outside ``foreachBatch``).
+
+    With ``df_stats`` the routing index builds at construction (zero
+    per-batch driver work). Without it, the FIRST ``match`` probes that
+    batch for routing df and the compiled index is reused afterwards —
+    routing df never affects correctness, so later batches' df drift
+    only perturbs candidate selectivity."""
+
+    def __init__(
+        self,
+        queries: DataFrame,
+        analyzer: str = "porter",
+        min_should: int | None = None,
+        df_stats: DataFrame | None = None,
+        df_probe: int = 20_000,
+    ):
+        self.analyzer = analyzer
+        self.min_should = min_should
+        self.df_probe = df_probe
+        self._qrows = _collect_query_sets(queries, analyzer)
+        self._vocab = sorted({t for _, qset in self._qrows for t in qset})
+        self._b_index = None
+        self._spark = queries.sparkSession
+        if df_stats is not None:
+            self._compile(
+                df_stats.filter(F.col("term").isin(self._vocab)).select("term", "df")
+                if len(self._vocab) <= 10_000
+                else df_stats.join(
+                    F.broadcast(
+                        self._spark.createDataFrame(
+                            [(t,) for t in self._vocab], "term string"
+                        )
+                    ),
+                    "term",
+                ).select("term", "df")
+            )
+
+    def _compile(self, df_src: DataFrame) -> None:
+        dfmap = {r["term"]: r["df"] for r in df_src.collect()}
+        # rarest-term routing index: term -> [(qid, frozenset terms, nterms)]
+        index: dict[str, list[tuple[int, frozenset, int]]] = {}
+        for qid, qset in self._qrows:
+            terms = sorted(qset, key=lambda t: (dfmap.get(t, 0), t))
+            n = len(terms)
+            n_route = (
+                1
+                if self.min_should is None
+                else max(0, min(n, n - self.min_should + 1))
+            )
+            entry = (qid, frozenset(terms), n)
+            for t in terms[:n_route]:
+                index.setdefault(t, []).append(entry)
+        self._b_index = self._spark.sparkContext.broadcast(index)
+
+    def match(self, docs: DataFrame) -> DataFrame:
+        if self._b_index is None:
+            src = (
+                _df_probe_terms(docs, self.analyzer, self.df_probe)
+                .filter(F.col("term").isin(self._vocab))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+            )
+            self._compile(src)
+        b_index = self._b_index
+        need_m = self.min_should  # None = AND
+
+        def run(batches):
+            import pandas as pd
+
+            idx = b_index.value
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                docids, qids, matched, nterms = [], [], [], []
+                for docid, terms in zip(pdf["docid"], pdf["terms"]):
+                    s = set(terms)
+                    if not s:
+                        continue
+                    seen = set()
+                    for t in s:
+                        for qid, qset, n in idx.get(t, ()):
+                            if qid in seen:
+                                continue
+                            seen.add(qid)
+                            m = len(qset & s)
+                            if m >= (n if need_m is None else need_m):
+                                docids.append(docid)
+                                qids.append(qid)
+                                matched.append(m)
+                                nterms.append(n)
+                if docids:
+                    yield pd.DataFrame(
+                        {
+                            "docid": docids,
+                            "qid": qids,
+                            "matched": matched,
+                            "nterms": nterms,
+                        }
+                    )
+
+        return doc_term_sets(docs, self.analyzer).mapInPandas(run, schema=_OUT_SCHEMA)
+
+
 def percolate(
     docs: DataFrame,
     queries: DataFrame,
@@ -117,72 +226,19 @@ def percolate(
     """→ (docid, qid, matched, nterms): stored queries matching each doc.
     AND semantics by default (matched == nterms); ``min_should=m`` relaxes
     to match-at-least-m (a pair must still share ≥ 1 term). ``queries``
-    has (qid long, query string); empty queries never match."""
+    has (qid long, query string); empty queries never match.
+
+    One-shot convenience over ``Percolator`` — repeated callers (streams,
+    benches) should compile a Percolator once and ``match`` per batch."""
     if not broadcast_queries:
         return _percolate_join(docs, queries, analyzer, min_should, df_stats, df_probe)
-
-    spark = docs.sparkSession
-    qrows = _collect_query_sets(queries, analyzer)
-    vocab = sorted({t for _, qset in qrows for t in qset})
-    if len(vocab) <= 10_000:
-        # small query vocabulary: an InSet literal filter beats a join
-        src = (
-            _df_probe_terms(docs, analyzer, df_probe)
-            .filter(F.col("term").isin(vocab))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            if df_stats is None
-            else df_stats.filter(F.col("term").isin(vocab)).select("term", "df")
-        )
-    else:
-        qvocab = spark.createDataFrame([(t,) for t in vocab], "term string")
-        src = _routing_df(docs, qvocab, analyzer, df_stats, df_probe)
-    dfmap = {r["term"]: r["df"] for r in src.collect()}
-
-    # rarest-term routing index: term -> [(qid, frozenset terms, nterms)]
-    index: dict[str, list[tuple[int, frozenset, int]]] = {}
-    for qid, qset in qrows:
-        terms = sorted(qset, key=lambda t: (dfmap.get(t, 0), t))
-        n = len(terms)
-        n_route = 1 if min_should is None else max(0, min(n, n - min_should + 1))
-        entry = (qid, frozenset(terms), n)
-        for t in terms[:n_route]:
-            index.setdefault(t, []).append(entry)
-
-    b_index = spark.sparkContext.broadcast(index)
-    need_m = min_should  # None = AND
-
-    def run(batches):
-        import pandas as pd
-
-        idx = b_index.value
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            docids, qids, matched, nterms = [], [], [], []
-            for docid, terms in zip(pdf["docid"], pdf["terms"]):
-                s = set(terms)
-                if not s:
-                    continue
-                seen = set()
-                for t in s:
-                    for qid, qset, n in idx.get(t, ()):
-                        if qid in seen:
-                            continue
-                        seen.add(qid)
-                        m = len(qset & s)
-                        if m >= (n if need_m is None else need_m):
-                            docids.append(docid)
-                            qids.append(qid)
-                            matched.append(m)
-                            nterms.append(n)
-            if docids:
-                yield pd.DataFrame(
-                    {"docid": docids, "qid": qids, "matched": matched, "nterms": nterms}
-                )
-
-    return doc_term_sets(docs, analyzer).mapInPandas(run, schema=_OUT_SCHEMA)
+    return Percolator(
+        queries,
+        analyzer=analyzer,
+        min_should=min_should,
+        df_stats=df_stats,
+        df_probe=df_probe,
+    ).match(docs)
 
 
 def _percolate_join(

@@ -499,6 +499,7 @@ def percolate_stream(
     alerts_path: str,
     analyzer: str = "porter",
     available_now: bool = True,
+    df_stats: DataFrame | None = None,
 ):
     """Alerting on ingest: percolate every arriving document batch against
     the stored-query table and append matches to ``alerts_path`` as
@@ -506,22 +507,29 @@ def percolate_stream(
 
     The percolation itself is per-document stateless (a doc's matches
     depend only on that doc and the static query table), so it runs inside
-    ``foreachBatch`` — each micro-batch pays exactly the batch operator's
-    one term-join + one (docid, qid) aggregate over BATCH-sized input, and
-    the checkpoint gives resume-from-last-committed-batch exactly like
+    ``foreachBatch`` — each micro-batch pays exactly ONE broadcast-routed
+    kernel pass over BATCH-sized input (search/percolate.py), and the
+    checkpoint gives resume-from-last-committed-batch exactly like
     ``ingest_stream``. The query table is re-analyzed per batch; pin it
     with ``.persist()`` (or pre-explode once) when the stored-query set is
-    large enough for that to matter.
+    large enough for that to matter. Pass ``df_stats`` (e.g. the serving
+    index's ``termstats.select(term, df)``) to route queries by corpus-
+    global dfs and skip even the per-batch routing probe.
 
     Returns the StreamingQuery; call ``.awaitTermination()``.
     """
-    from mini_search_engine_spark.search.percolate import percolate
+    from mini_search_engine_spark.search.percolate import Percolator
+
+    # compile ONCE: query analysis + (with df_stats) the routing index
+    # happen here, not per micro-batch — each trigger pays only the
+    # kernel pass (plus, without df_stats, a one-time first-batch probe)
+    perc = Percolator(queries, analyzer=analyzer, df_stats=df_stats)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         docs = load_corpus(batch_df)
-        matches = percolate(docs, queries, analyzer=analyzer)
+        matches = perc.match(docs)
         # Deterministic per-batch directory + overwrite = idempotent under
         # replay: a crash between this write and the checkpoint commit
         # re-runs the batch, which REWRITES the same batch_id=<id> dir

@@ -351,3 +351,52 @@ def test_percolate_join_fallback_parity(spark):
         )
         assert a == b, (ms, a, b)
         assert len(a) > 0
+
+
+def test_percolate_with_index_df_stats(spark):
+    """df_stats from an index's termstats (the zero-probe serving shape)
+    must change ONLY routing, never results."""
+    docs = _corpus(
+        spark,
+        {0: "apple banana cherry", 1: "apple banana", 2: "cherry date", 3: ""},
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry date"), (2, "date elderberry")],
+        "qid long, query string",
+    )
+    idx = build_index(docs, analyzer="punct_nostem", block_span=8)
+    try:
+        stats = idx.termstats.select("term", "df")
+        a = sorted(map(tuple, percolate(docs, queries, analyzer="punct_nostem").collect()))
+        b = sorted(
+            map(
+                tuple,
+                percolate(
+                    docs, queries, analyzer="punct_nostem", df_stats=stats
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_percolator_compile_once_reuse(spark):
+    """A compiled Percolator must give identical results across multiple
+    batches (the percolate_stream shape), with the routing index built
+    exactly once."""
+    from mini_search_engine_spark.search import Percolator
+
+    queries = spark.createDataFrame(
+        [(0, "apple banana"), (1, "cherry date")], "qid long, query string"
+    )
+    b1 = _corpus(spark, {0: "apple banana cherry", 1: "cherry date"})
+    b2 = _corpus(spark, {2: "apple banana", 3: "date cherry apple"})
+    perc = Percolator(queries, analyzer="punct_nostem")
+    r1 = sorted(map(tuple, perc.match(b1).collect()))
+    built = perc._b_index
+    r2 = sorted(map(tuple, perc.match(b2).collect()))
+    assert perc._b_index is built  # compiled once, reused
+    ref1 = sorted(map(tuple, percolate(b1, queries, analyzer="punct_nostem").collect()))
+    ref2 = sorted(map(tuple, percolate(b2, queries, analyzer="punct_nostem").collect()))
+    assert r1 == ref1 and r2 == ref2 and len(r2) == 2

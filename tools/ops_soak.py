@@ -81,9 +81,19 @@ def main():
         for i in range(1024)
     ]
     queries = spark.createDataFrame(qrows, "qid long, query string")
-    t0 = time.time()
-    n_alerts = percolate(docs, queries, analyzer="porter").count()
-    out["percolate_1024q_sec"] = round(time.time() - t0, 2)
+    # one FULL untimed warm run, then min-of-2 (the scaling-bench
+    # protocol): at r5 job sizes the first execution's JIT/codegen/worker
+    # warm-up dominates — measured 56.5 → 33.0 → ~7 s across the first
+    # three identical runs in one session — and an alert pipeline runs
+    # this same job every micro-batch, so steady state is the number
+    percolate(docs, queries, analyzer="porter").count()
+    reps = []
+    for _ in range(2):
+        t0 = time.time()
+        n_alerts = percolate(docs, queries, analyzer="porter").count()
+        reps.append(round(time.time() - t0, 2))
+    out["percolate_1024q_sec"] = min(reps)
+    out["percolate_1024q_reps"] = reps
     out["percolate_alerts"] = n_alerts
     # invariant: tiny-batch path agrees on a 3-doc sample
     sample = docs.filter(F.col("docid") < 3)
@@ -174,10 +184,15 @@ def main():
     out["dup_span_docs"] = n_span_docs
 
     t0 = time.time()
-    cleaned = remove_duplicate_spans(docs, window=16)
-    n_cleaned = cleaned.count()
+    # aggregate the REMOVED-token total, not count(): a bare count() lets
+    # Catalyst prune the entire mask/rejoin compute (rows pass through
+    # 1:1) and measures nothing
+    removed = remove_duplicate_spans(docs, window=16).agg(
+        F.sum("removed_tokens").alias("r"), F.count("*").alias("n")
+    ).collect()[0]
     out["remove_spans_sec"] = round(time.time() - t0, 2)
-    out["remove_spans_rows"] = n_cleaned
+    out["remove_spans_rows"] = int(removed["n"])
+    out["removed_tokens_total"] = int(removed["r"])
     # invariant: identical counts under a different partition layout —
     # the hash-group pipeline must be layout-independent
     relaid = docs.repartition(7, "docid")
