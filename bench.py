@@ -297,6 +297,14 @@ def main():
         "percolate_8q",
         lambda: percolate(docs, perc_q, analyzer="porter").count(),
     )
+    # the streaming shape: queries compiled ONCE, per-batch cost = the
+    # kernel pass only (percolate_8q above re-compiles per call — the
+    # one-shot convenience path)
+    from mini_search_engine_spark.search import Percolator
+
+    _perc = Percolator(perc_q, analyzer="porter")
+    _perc.match(docs.limit(64)).count()  # build the routing index untimed
+    timed_ext("percolate_8q_compiled", lambda: _perc.match(docs).count())
     t0 = time.time()
     champ = champion_index(idx, n_per_term=128)
     champ.postings.persist().count()
