@@ -639,3 +639,33 @@ def test_next_words_hand(spark):
     got = [(r["next"], r["n_occ"]) for r in next_words(docs, "fast", topk=10).collect()]
     assert got == [("key", 2), ("lane", 1)]
     assert next_words(docs, "absent", topk=10).count() == 0
+
+
+def test_zipf_corpus_deterministic_and_skewed(spark):
+    """The heavy-tailed generator must be deterministic and actually
+    heavy-tailed (max df orders of magnitude above median df)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.soak_bench import zipf_synthetic_corpus
+
+    from mini_search_engine_spark.corpus import load_corpus
+    from pyspark.sql import functions as F
+
+    a = zipf_synthetic_corpus(spark, 2000, 4).collect()
+    b = zipf_synthetic_corpus(spark, 2000, 8).collect()  # layout-independent
+    assert sorted(r["path"] for r in a) == sorted(r["path"] for r in b)
+    ca = {r["path"]: r["content"] for r in a}
+    cb = {r["path"]: r["content"] for r in b}
+    assert ca == cb
+
+    docs = load_corpus(zipf_synthetic_corpus(spark, 2000, 4))
+    df = (
+        docs.select(F.explode(F.split("content", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count_distinct(F.col("t")).alias("_"), F.count("*").alias("n"))
+    )
+    row = df.agg(
+        F.max("n").alias("mx"), F.expr("percentile_approx(n, 0.5)").alias("p50")
+    ).collect()[0]
+    assert row["mx"] > 50 * row["p50"], (row["mx"], row["p50"])  # heavy tail

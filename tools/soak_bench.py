@@ -43,6 +43,66 @@ from mini_search_engine_spark.search import bm25_topk, search_and  # noqa: E402
 from mini_search_engine_spark.session import get_spark  # noqa: E402
 
 
+def zipf_synthetic_corpus(spark, n_docs: int, num_partitions: int, vocab_size: int = 50_000):
+    """``fast_synthetic_corpus``'s heavy-tailed twin: word ranks drawn
+    log-uniformly over a ``vocab_size`` vocabulary (rank = ⌊V^u⌋, the
+    inverse-CDF of Zipf s≈1), so term dfs span five orders of magnitude —
+    the df shape real corpora have. This is the corpus the df-ceiling
+    (related_docs), rarest-term routing (percolate) and LSH bucket
+    sparsity arguments are ABOUT; the uniform generator's every-term-is-
+    hot vocabulary makes those mechanisms degenerate (documented in
+    BENCH/OPS_SOAK.md). Deterministic: rank from a (docid, position)
+    hash, no RNG state."""
+    import numpy as np
+    import pyarrow as pa
+
+    head = _KEYWORDS + _ENGLISH  # the hot head keeps query tooling reusable
+    langs = np.array(["java", "py", "scala", "md"], dtype=object)
+    V = vocab_size
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column("id").to_numpy()
+            n = len(ids)
+            if n == 0:
+                continue
+            lens = 30 + (ids % 61)
+            maxlen = int(lens.max())
+            j = np.arange(maxlen, dtype=np.int64)
+            h = (
+                ids[:, None] * np.int64(2654435761)
+                + (j * j * 7 + (j << 7))[None, :] * np.int64(40503)
+            ) & np.int64((1 << 62) - 1)
+            u = (h % np.int64(1 << 30)).astype(np.float64) / float(1 << 30)
+            rank = np.power(float(V), u).astype(np.int64)  # 1..V, log-uniform
+            nh = len(head)
+            head_u = np.asarray(head, dtype="U24")
+            # ranks ≤ len(head) use the readable hot head; the tail is
+            # synthetic rare tokens ("z<rank>") — all vectorized
+            words = np.where(
+                rank <= nh,
+                head_u[np.clip(rank - 1, 0, nh - 1)],
+                np.char.add("z", rank.astype("U8")),
+            )
+            content = [" ".join(words[i, : lens[i]]) for i in range(n)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([f"org/proj{int(i) % 8}" for i in ids]),
+                    pa.array([f"src/f{int(i):09d}.java" for i in ids]),
+                    pa.array(["c0"] * n),
+                    pa.array(langs[ids % 4]),
+                    pa.array(content),
+                ],
+                names=["repo", "path", "commit", "lang", "content"],
+            )
+
+    base = spark.range(0, n_docs, 1, num_partitions)
+    return base.mapInArrow(
+        gen,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+
+
 def fast_synthetic_corpus(spark, n_docs: int, num_partitions: int):
     """input_hint-shaped corpus generated ~50× faster than
     ``synthesize_source_corpus`` (whose per-doc ``random.Random`` is the
