@@ -1378,13 +1378,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (r4 verdict item 1): the driver's correctness gate
-    # checks the first 50 entries in registry order, so entries that have never
-    # appeared in a driver CORRECTNESS_r*.json come FIRST, followed by entries
-    # last checked in r1-r3, with the 50 entries green in r4 at the tail.
+    # checks the first 50 entries in registry order — new entries and entries
+    # whose UNDERLYING OPERATOR CODE changed this round come first (they need
+    # a current driver row), then the longest-unchecked entries, with
+    # recently-green unchanged entries at the tail.
     return {
         # --- new in r5 ---
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
+        # --- operators REWRITTEN/regated in r5: need current driver rows ---
+        "percolate": q_percolate,
+        "bm25_topk": q_bm25,
+        "bm25_topk_fused_cold": q_bm25_fused_cold,
+        "champion_bm25": q_champion_bm25,
+        "substring_search": q_substring_search,
+        "regex_search": q_regex_search,
         # --- never driver-checked before r5 (judge-verified locally in r4) ---
         "code_term_df": q_code_term_df,
         "code_search": q_code_search,
@@ -1442,19 +1450,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": q_wildcard_search,
         "fuzzy_search": q_fuzzy_search,
         "tfidf_topk": q_tfidf,
-        "bm25_topk": q_bm25,
         "bm25_batch": q_bm25_batch,
         "bm25_page2": q_bm25_page2,
         "bm25_filtered": q_bm25_filtered,
         "collapse_by_source": q_collapse_by_source,
         "bm25_explain": q_bm25_explain,
         "synonym_query": q_synonym_query,
-        "bm25_topk_fused_cold": q_bm25_fused_cold,
         "bm25_topk_pruned": q_bm25_pruned,
         "doc_deletes_bm25": q_doc_deletes_bm25,
         "snippets": q_snippets,
         "suggest": q_suggest,
-        "substring_search": q_substring_search,
         "fielded_bm25": q_fielded_bm25,
         "fielded_dismax": q_fielded_dismax,
         "anchor_texts": q_anchor_texts,
@@ -1465,13 +1470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "related_docs": q_related_docs,
         "bm25_prf": q_bm25_prf,
-        "percolate": q_percolate,
         "search_eval": q_search_eval,
         "search_eval_macro": q_search_eval_macro,
         "significant_terms": q_significant_terms,
         "index_diff": q_index_diff,
-        "champion_bm25": q_champion_bm25,
-        "regex_search": q_regex_search,
         "did_you_mean": q_did_you_mean,
         "hybrid_rrf": q_hybrid_rrf,
         "facets": q_facets,
