@@ -65,7 +65,19 @@ def child(cpus: int) -> None:
     percolate(docs, queries, analyzer="porter").count()
     t0 = time.time()
     n = percolate(docs, queries, analyzer="porter").count()
-    print(json.dumps({"sec": round(time.time() - t0, 2), "alerts": n}))
+    one_shot = round(time.time() - t0, 2)
+    # the compiled path (percolate_stream's shape): query analysis +
+    # routing probe paid ONCE, per-batch cost = kernel pass only — this
+    # isolates the part that must scale with the corpus
+    from mini_search_engine_spark.search import Percolator
+
+    perc = Percolator(queries, analyzer="porter")
+    perc.match(docs).count()  # builds + warms the compiled index
+    t0 = time.time()
+    n2 = perc.match(docs).count()
+    compiled = round(time.time() - t0, 2)
+    assert n2 == n
+    print(json.dumps({"sec": one_shot, "sec_compiled": compiled, "alerts": n}))
     spark.stop()
 
 
@@ -93,14 +105,17 @@ def main() -> None:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     samples: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    samples_c: dict[int, list[float]] = {n_lo: [], n_hi: []}
     alerts = None
     for _ in range(rounds):  # interleave lo/hi so noise windows hit both
         for cpus in (n_lo, n_hi):
             r = run(cpus)
             samples[cpus].append(r["sec"])
+            samples_c[cpus].append(r["sec_compiled"])
             assert alerts in (None, r["alerts"]), "alert count must be invariant"
             alerts = r["alerts"]
     t_lo, t_hi = min(samples[n_lo]), min(samples[n_hi])
+    c_lo, c_hi = min(samples_c[n_lo]), min(samples_c[n_hi])
     eff = (t_lo / t_hi) / (n_hi / n_lo)
     out = {
         "op": "percolate_1024q",
@@ -113,7 +128,11 @@ def main() -> None:
         "docs_per_sec_hi": round(n_docs / t_hi, 1),
         "speedup": round(t_lo / t_hi, 3),
         "efficiency": round(eff, 3),
+        "compiled_sec_lo": c_lo,
+        "compiled_sec_hi": c_hi,
+        "compiled_efficiency": round((c_lo / c_hi) / (n_hi / n_lo), 3),
         "samples": samples,
+        "samples_compiled": samples_c,
     }
     print(json.dumps(out))
     shutil.rmtree(CORPUS, ignore_errors=True)
