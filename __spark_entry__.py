@@ -1186,6 +1186,19 @@ def q_bpe_counts(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_nb_classify(spark, sf_dir):
+    """Distributed multinomial Naive Bayes (ops/classify.py) — the quality/
+    language classifier stage of a training-data pipeline (fastText's role
+    in CCNet / GPT-3 app. A quality filtering). Self-train on the documents
+    table with lang as the label, classify every doc. Train = one
+    groupBy(label, token) + one pivot; score = one broadcast model join +
+    one groupBy(docid). The oracle replicates the exact Laplace-smoothed
+    log-probability decomposition (prior + n*floor + sum ln(c+1))."""
+    from mini_search_engine_spark.ops import nb_classify
+
+    return nb_classify(load_documents(spark, sf_dir), content_col="content", label_col="lang")
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1384,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recently-green unchanged entries at the tail.
     return {
         # --- new in r5 ---
+        "nb_classify": q_nb_classify,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2666,6 +2680,44 @@ SELECT doc_id AS docid,
             WHEN na_ratio >= 0.05 THEN 'other'
             ELSE 'code' END AS lang_guess
 FROM r"""
+
+    # Multinomial NB self-train + classify, exact Laplace decomposition:
+    # score(d,y) = ln(n_docs(y)/N) + n_d * (-ln(tot(y)+V)) + sum ln(c(t,y)+1).
+    # Tie-break mirrors the engine: highest score, then smallest label.
+    sqls["nb_classify"] = """WITH
+toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT lang AS y, token, count(*)::DOUBLE AS c FROM toks GROUP BY y, token),
+labels AS (SELECT lang AS y, count(*)::DOUBLE AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents),
+totals AS (SELECT y, sum(c) AS t FROM counts GROUP BY y),
+vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM toks),
+params AS (
+  SELECT l.y, ln(l.n_docs / tot.n) AS prior, -ln(t.t + vocab.v) AS floor
+  FROM labels l
+  JOIN totals t ON t.y = l.y
+  CROSS JOIN tot CROSS JOIN vocab
+),
+ntok AS (SELECT doc_id, count(*)::DOUBLE AS n FROM toks GROUP BY doc_id),
+hits AS (
+  SELECT tk.doc_id, c.y, sum(ln(c.c + 1)) AS s
+  FROM toks tk JOIN counts c ON c.token = tk.token
+  GROUP BY tk.doc_id, c.y
+),
+scores AS (
+  SELECT d.doc_id, d.lang, p.y,
+         p.prior + coalesce(nt.n, 0) * p.floor + coalesce(h.s, 0.0) AS score
+  FROM documents d
+  CROSS JOIN params p
+  LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.y = p.y
+)
+SELECT doc_id AS docid, lang, y AS pred, score, (y = lang) AS correct
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) = 1"""
 
     sqls["quality_scores"] = f"""WITH {_WS},
 b AS (

@@ -26,6 +26,12 @@ from mini_search_engine_spark.ops.ann import (
     read_ivf_index,
     write_ivf_index,
 )
+from mini_search_engine_spark.ops.classify import (
+    NBModel,
+    nb_classify,
+    nb_score,
+    nb_train,
+)
 from mini_search_engine_spark.ops.cluster import (
     connected_components,
     dedup_clusters,
@@ -107,6 +113,10 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "NBModel",
+    "nb_classify",
+    "nb_score",
+    "nb_train",
     "connected_components",
     "dedup_clusters",
     "dedup_keep_canonical",
