@@ -1199,6 +1199,18 @@ def q_nb_classify(spark, sf_dir):
     return nb_classify(load_documents(spark, sf_dir), content_col="content", label_col="lang")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity quality scoring (ops/lm.py) — the CCNet /
+    Gopher perplexity-filter stage. Self-train an add-one bigram model
+    (ONE groupBy(prev, cur); context totals + vocab derive from it), score
+    every doc's cross-entropy + perplexity via two broadcast model joins +
+    one groupBy(docid). Oracle replicates the exact smoothed decomposition
+    ln(C(prev,cur)+1) - ln(C(prev)+V) in DuckDB."""
+    from mini_search_engine_spark.ops import lm_perplexity
+
+    return lm_perplexity(load_documents(spark, sf_dir))
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1398,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r5 ---
         "nb_classify": q_nb_classify,
+        "lm_perplexity": q_lm_perplexity,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2718,6 +2731,38 @@ scores AS (
 SELECT doc_id AS docid, lang, y AS pred, score, (y = lang) AS correct
 FROM scores
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) = 1"""
+
+    # Add-one bigram LM self-train + per-doc cross-entropy/perplexity:
+    # ln P(cur|prev) = ln(C(prev,cur)+1) - ln(C(prev)+V), V = unigram vocab.
+    sqls["lm_perplexity"] = f"""WITH {_WS},
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM wtl WHERE len(toks) >= 2
+),
+bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM idx),
+bgc AS (SELECT prev, cur, count(*)::DOUBLE AS c FROM bg GROUP BY prev, cur),
+ctx AS (SELECT prev, sum(c) AS t FROM bgc GROUP BY prev),
+vocab AS (
+  SELECT count(DISTINCT tok)::DOUBLE AS v
+  FROM (SELECT unnest(toks) AS tok FROM wtl)
+),
+lp AS (
+  SELECT b.doc_id,
+         ln(coalesce(bgc.c, 0) + 1) - ln(coalesce(ctx.t, 0) + vocab.v) AS lnp
+  FROM bg b
+  LEFT JOIN bgc ON bgc.prev = b.prev AND bgc.cur = b.cur
+  LEFT JOIN ctx ON ctx.prev = b.prev
+  CROSS JOIN vocab
+),
+h AS (
+  SELECT doc_id, count(*) AS m, -avg(lnp) AS cross_entropy
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id AS docid,
+       coalesce(h.m, 0)::BIGINT AS n_bigrams,
+       h.cross_entropy,
+       exp(h.cross_entropy) AS perplexity
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
 
     sqls["quality_scores"] = f"""WITH {_WS},
 b AS (

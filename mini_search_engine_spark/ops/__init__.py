@@ -32,6 +32,10 @@ from mini_search_engine_spark.ops.classify import (
     nb_score,
     nb_train,
 )
+from mini_search_engine_spark.ops.lm import (
+    lm_perplexity,
+    lm_train_bigram,
+)
 from mini_search_engine_spark.ops.cluster import (
     connected_components,
     dedup_clusters,
@@ -113,6 +117,8 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "lm_perplexity",
+    "lm_train_bigram",
     "NBModel",
     "nb_classify",
     "nb_score",

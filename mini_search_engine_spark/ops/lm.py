@@ -1,0 +1,128 @@
+"""Bigram language-model perplexity scoring — the OTHER standard quality
+filter of a training-data pipeline (CCNet, Wenzek et al. 2019, filters
+CommonCrawl by KenLM perplexity; Gopher/Rae et al. 2021 app. A does the
+same). This is an honest small-n stand-in: an add-one-smoothed bigram model
+trained distributed, scoring every document's per-token cross-entropy and
+perplexity. The point is the distributed plumbing and the exact, oracle-
+replicable math, not KenLM parity.
+
+Design for 100 TB:
+
+- **Bigrams never leave their row until the count.** Consecutive-token
+  pairs come from ``arrays_zip(slice, slice)`` — pure Catalyst, no Python,
+  no positional shuffle. Training is ONE ``groupBy(prev, cur)`` (map-side
+  partial aggregation collapses repeats before the exchange); context
+  totals and vocabulary size derive from that table, not a second corpus
+  pass over raw tokens.
+- **Scoring is two model joins + one groupBy(docid).** The model is the
+  join's small side; ``min_count`` prunes the long bigram tail (the KenLM
+  pruning analogue) so it stays broadcastable — pruned/unseen bigrams fall
+  back to the smoothed floor ``1/(C(prev)+V)`` exactly as an unseen pair
+  would, so pruning degrades scores gracefully instead of breaking them.
+  Set ``broadcast_model=False`` to let Catalyst pick a shuffle join when
+  the bigram table outgrows broadcast (AQE will still broadcast if it
+  turns out small).
+- log-probability decomposes as ``ln(C(prev,cur)+1) - ln(C(prev)+V)`` so
+  both joins carry one double each.
+
+→ ``lm_perplexity`` registry entry replicates the whole model in DuckDB
+SQL (hash-exact incl. the exp()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+
+
+def _doc_bigrams(docs: DataFrame, content_col: str, extra_cols: list[str]) -> DataFrame:
+    """→ one row per consecutive token pair: (*extra_cols, prev, cur).
+    Within-row zip of toks[0:n-1] with toks[1:n]; docs with <2 tokens
+    contribute nothing."""
+    toks = _ws_tokens(F.col(content_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(*extra_cols, F.explode(pairs).alias("_p"))
+        .select(*extra_cols, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+    )
+
+
+def lm_train_bigram(
+    docs: DataFrame,
+    content_col: str = "content",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the add-one bigram model. → (bigram_counts(prev, cur, c),
+    context_totals(prev, t), vocab_size V).
+
+    V is the UNIGRAM vocabulary (all tokens, including docs' last tokens) —
+    the smoothing denominator must cover every possible continuation.
+    ``min_count`` drops bigrams below the threshold AFTER totals/vocab are
+    fixed, so pruning only moves pruned pairs onto the unseen floor — it
+    never changes the probabilities of surviving pairs."""
+    # No persist: both consumers (the bigram join's build side and the ctx
+    # re-aggregation) sit above the SAME Exchange(hash(prev, cur)) subplan,
+    # which Spark's ReuseExchange dedups within the scoring query.
+    bg = _doc_bigrams(docs, content_col, [])
+    counts = bg.groupBy("prev", "cur").count().withColumnRenamed("count", "c")
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("t"))
+    vocab_size = (
+        docs.select(F.explode(_ws_tokens(F.col(content_col))).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    if min_count > 1:
+        pruned = counts.filter(F.col("c") >= min_count)
+    else:
+        pruned = counts
+    return pruned, ctx, vocab_size
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "docid",
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Self-train a bigram LM on the corpus and score every document.
+
+    → (id_col, n_bigrams, cross_entropy, perplexity); docs with <2 tokens
+    get n_bigrams=0 and NULL entropy/perplexity (nothing to score).
+    cross_entropy = -(1/m) Σ ln P(cur|prev) in nats; perplexity = exp(H).
+    Real pipelines train on the curated corpus and score the crawl — same
+    ``lm_train_bigram`` + the scoring half of this function."""
+    counts, ctx, V = lm_train_bigram(docs, content_col, min_count=min_count)
+    wrap = F.broadcast if broadcast_model else (lambda df: df)
+    bg = _doc_bigrams(docs, content_col, [id_col])
+    lnp = (
+        F.log(F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+        - F.log(F.coalesce(F.col("t"), F.lit(0)).cast("double") + F.lit(float(V)))
+    )
+    scored = (
+        bg.join(wrap(counts), ["prev", "cur"], "left")
+        .join(wrap(ctx), ["prev"], "left")
+        .select(id_col, lnp.alias("_lnp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_m"), (-F.avg("_lnp")).alias("cross_entropy"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("cross_entropy"),
+            F.exp(F.col("cross_entropy")).alias("perplexity"),
+        )
+    )

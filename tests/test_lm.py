@@ -1,0 +1,132 @@
+"""Bigram-LM perplexity (ops/lm.py) vs a plain-python reference, plus the
+short-doc edge, the min_count pruning fallback, and plan/partition props."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.ops import lm_perplexity, lm_train_bigram
+
+SCHEMA = "docid long, content string"
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat ran"),
+    (2, "a dog sat on a log"),
+    (3, "the the the"),  # repeated-token doc: low perplexity
+    (4, "single"),  # 1 token -> no bigrams
+    (5, ""),  # empty -> no bigrams
+    (6, "on the mat the cat sat"),
+]
+
+
+def _tok(s):
+    return [t for t in re.split(r"\s+", s.lower()) if t]
+
+
+def _ref(docs, min_count=1):
+    bgc = Counter()
+    vocab = set()
+    for _, text in docs:
+        toks = _tok(text)
+        vocab.update(toks)
+        bgc.update(zip(toks, toks[1:]))
+    ctx = Counter()
+    for (p, _), c in bgc.items():
+        ctx[p] += c
+    V = len(vocab)
+    kept = {k: c for k, c in bgc.items() if c >= min_count}
+    out = {}
+    for docid, text in docs:
+        toks = _tok(text)
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out[docid] = (0, None, None)
+            continue
+        s = sum(
+            math.log(kept.get(p, 0) + 1) - math.log(ctx.get(p[0], 0) + V)
+            for p in pairs
+        )
+        h = -s / len(pairs)
+        out[docid] = (len(pairs), h, math.exp(h))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def test_lm_matches_python_reference(spark, docs_df):
+    got = {r["docid"]: r for r in lm_perplexity(docs_df).collect()}
+    ref = _ref(DOCS)
+    assert set(got) == set(ref)
+    for docid, (m, h, ppl) in ref.items():
+        r = got[docid]
+        assert r["n_bigrams"] == m
+        if h is None:
+            assert r["cross_entropy"] is None and r["perplexity"] is None
+        else:
+            assert r["cross_entropy"] == pytest.approx(h, abs=1e-9)
+            assert r["perplexity"] == pytest.approx(ppl, rel=1e-9)
+
+
+def test_lm_perplexity_is_exp_entropy_and_bounded(spark, docs_df):
+    rows = [r for r in lm_perplexity(docs_df).collect() if r["perplexity"] is not None]
+    assert rows
+    for r in rows:
+        assert r["perplexity"] == pytest.approx(math.exp(r["cross_entropy"]), rel=1e-12)
+        # add-one smoothing bounds every conditional by 1/(t+V) from below
+        # and (c+1)/(c+V) < 1 from above -> entropy strictly positive
+        assert r["cross_entropy"] > 0
+
+
+def test_lm_min_count_prunes_to_unseen_floor(spark, docs_df):
+    got = {r["docid"]: r for r in lm_perplexity(docs_df, min_count=2).collect()}
+    ref = _ref(DOCS, min_count=2)
+    for docid, (m, h, ppl) in ref.items():
+        r = got[docid]
+        assert r["n_bigrams"] == m
+        if h is not None:
+            assert r["cross_entropy"] == pytest.approx(h, abs=1e-9)
+    # pruning must be a no-op for docs whose bigrams all survive, and must
+    # RAISE entropy for docs that lost bigrams (floor < kept probability)
+    full = _ref(DOCS, min_count=1)
+    for docid in ref:
+        if ref[docid][1] is not None and full[docid][1] is not None:
+            assert ref[docid][1] >= full[docid][1] - 1e-12
+
+
+def test_lm_train_returns_consistent_model(spark, docs_df):
+    counts, ctx, V = lm_train_bigram(docs_df)
+    bgc = {(r["prev"], r["cur"]): r["c"] for r in counts.collect()}
+    ctxd = {r["prev"]: r["t"] for r in ctx.collect()}
+    ref_bgc = Counter()
+    vocab = set()
+    for _, text in DOCS:
+        toks = _tok(text)
+        vocab.update(toks)
+        ref_bgc.update(zip(toks, toks[1:]))
+    assert bgc == dict(ref_bgc)
+    assert V == len(vocab)
+    for p, t in ctxd.items():
+        assert t == sum(c for (a, _), c in ref_bgc.items() if a == p)
+
+
+def test_lm_plan_broadcasts_model(spark, docs_df):
+    plan = lm_perplexity(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_deterministic_under_repartition(spark, docs_df):
+    a = sorted(map(tuple, lm_perplexity(docs_df).collect()))
+    b = sorted(map(tuple, lm_perplexity(docs_df.repartition(5)).collect()))
+    assert [t[:2] for t in a] == [t[:2] for t in b]
+    for x, y in zip(a, b):
+        if x[2] is None:
+            assert y[2] is None
+        else:
+            assert x[2] == pytest.approx(y[2], abs=1e-9)
