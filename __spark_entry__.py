@@ -1211,6 +1211,27 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(load_documents(spark, sf_dir))
 
 
+def q_source_stats(spark, sf_dir):
+    """Per-source curation report (ops/domains.py) — the RefinedWeb /
+    Gopher host-level filtering stage: ONE groupBy(source) over row-local
+    sha256 + quality expressions; keep thresholds applied to the rounded
+    aggregates. min_avg_tokens=55 splits this corpus's sources
+    non-degenerately (avg_tokens spans ~48-66)."""
+    from mini_search_engine_spark.ops import source_stats
+
+    return source_stats(load_documents(spark, sf_dir), min_avg_tokens=55.0)
+
+
+def q_source_filtered(spark, sf_dir):
+    """Docs surviving the source-level filter — proves the O(#sources)
+    verdict broadcasts back onto the corpus as a left-semi join."""
+    from mini_search_engine_spark.ops import source_filter
+
+    return source_filter(load_documents(spark, sf_dir), min_avg_tokens=55.0).select(
+        "docid", "source"
+    )
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1411,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
+        "source_stats": q_source_stats,
+        "source_filtered_docs": q_source_filtered,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2763,6 +2786,56 @@ SELECT d.doc_id AS docid,
        h.cross_entropy,
        exp(h.cross_entropy) AS perplexity
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+
+    # Per-source curation: same quality formula as quality_scores, ONE
+    # group by source; keep thresholds on the ROUNDED aggregates (the
+    # Spark side thresholds the same rounded columns).
+    _SRC_STATS = f"""WITH {_WS},
+m AS (
+  SELECT d.doc_id, d.source,
+         len(wtl.toks) AS n,
+         sha256(d.text) AS sha,
+         CASE WHEN len(wtl.toks) > 0
+              THEN length(array_to_string(wtl.toks, ''))::DOUBLE / len(wtl.toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(wtl.toks) > 0
+              THEN len(list_filter(wtl.toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(wtl.toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(d.text)
+              ELSE 0.0 END AS alpha_ratio
+  FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id
+),
+q AS (
+  SELECT doc_id, source, n, sha,
+         (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM m
+),
+agg AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         count(DISTINCT sha)::BIGINT AS n_unique,
+         round(avg(n::DOUBLE), 4) AS avg_tokens,
+         round(avg(quality), 4) AS avg_quality
+  FROM q GROUP BY source
+),
+rep AS (
+  SELECT source, n_docs, n_unique,
+         round(1.0 - n_unique::DOUBLE / n_docs, 6) AS dup_frac,
+         avg_tokens, avg_quality,
+         (n_docs >= 1 AND round(1.0 - n_unique::DOUBLE / n_docs, 6) <= 1.0
+          AND avg_quality >= 0.0 AND avg_tokens >= 55.0) AS keep
+  FROM agg
+)"""
+
+    sqls["source_stats"] = _SRC_STATS + """
+SELECT source, n_docs, n_unique, dup_frac, avg_tokens, avg_quality, keep FROM rep"""
+
+    sqls["source_filtered_docs"] = _SRC_STATS + """
+SELECT d.doc_id AS docid, d.source
+FROM documents d JOIN rep ON rep.source = d.source AND rep.keep"""
 
     sqls["quality_scores"] = f"""WITH {_WS},
 b AS (

@@ -32,6 +32,10 @@ from mini_search_engine_spark.ops.classify import (
     nb_score,
     nb_train,
 )
+from mini_search_engine_spark.ops.domains import (
+    source_filter,
+    source_stats,
+)
 from mini_search_engine_spark.ops.lm import (
     lm_perplexity,
     lm_train_bigram,
@@ -119,6 +123,8 @@ __all__ = [
     "lsh_cosine_topk",
     "lm_perplexity",
     "lm_train_bigram",
+    "source_filter",
+    "source_stats",
     "NBModel",
     "nb_classify",
     "nb_score",

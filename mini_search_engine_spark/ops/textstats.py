@@ -32,11 +32,11 @@ def token_counts(docs: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """→ per-doc quality features + a composite score in [0,1]:
-    mean token length in a sane band, low stopword ratio band, low symbol
-    ratio — a simple heuristic of the kind production pipelines threshold on."""
-    c = F.col(content_col)
+def quality_columns(c: Column) -> dict[str, Column]:
+    """The per-doc quality expressions, keyed by feature name — shared by
+    `quality_scores` (per-doc view) and `ops.domains.source_stats`
+    (per-source aggregation) so the two can never drift apart. All
+    row-local Catalyst expressions."""
     toks = _ws_tokens(c)
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOP_WORDS_SORTED)))
@@ -48,6 +48,27 @@ def quality_scores(docs: DataFrame, content_col: str = "content") -> DataFrame:
         F.when((mean_len >= 3) & (mean_len <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(stop_ratio <= 0.5, F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(alpha_ratio >= 0.6, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_tokens": n,
+        "mean_token_len": mean_len,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality": score,
+    }
+
+
+def quality_scores(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ per-doc quality features + a composite score in [0,1]:
+    mean token length in a sane band, low stopword ratio band, low symbol
+    ratio — a simple heuristic of the kind production pipelines threshold on."""
+    q = quality_columns(F.col(content_col))
+    n, mean_len, stop_ratio, alpha_ratio, score = (
+        q["n_tokens"],
+        q["mean_token_len"],
+        q["stopword_ratio"],
+        q["alpha_ratio"],
+        q["quality"],
     )
     return docs.select(
         "docid",
