@@ -1232,6 +1232,41 @@ def q_source_filtered(spark, sf_dir):
     )
 
 
+_CURATE_KW = dict(
+    min_avg_tokens=55.0,  # source gate: splits this corpus ~half
+    min_doc_tokens=55,  # doc gate: ~half the docs
+    window=8,
+    max_contam_frac=0.0,  # any shared 8-token window with eval drops
+    sample_rate=0.9,
+    salt="curate-v1",
+)
+
+
+def _curate_io(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    ev = docs.filter(F.col("docid") % 10 == 0)
+    tr = docs.filter(F.col("docid") % 10 != 0)
+    return tr, ev
+
+
+def q_curated_docs(spark, sf_dir):
+    """End-to-end curation pipeline (ops/curate.py): source filter →
+    exact dedup → doc token gate → decontamination vs the docid%10==0
+    eval slice → deterministic 90% hash sample, as ONE lazy plan."""
+    from mini_search_engine_spark.ops import curate
+
+    tr, ev = _curate_io(spark, sf_dir)
+    return curate(tr, eval_docs=ev, **_CURATE_KW).select("docid", "source")
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Per-stage survivor counts for the same pipeline."""
+    from mini_search_engine_spark.ops import curation_funnel
+
+    tr, ev = _curate_io(spark, sf_dir)
+    return curation_funnel(tr, eval_docs=ev, **_CURATE_KW)
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1434,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "source_stats": q_source_stats,
         "source_filtered_docs": q_source_filtered,
+        "curated_docs": q_curated_docs,
+        "curation_funnel": q_curation_funnel,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2836,6 +2873,62 @@ SELECT source, n_docs, n_unique, dup_frac, avg_tokens, avg_quality, keep FROM re
     sqls["source_filtered_docs"] = _SRC_STATS + """
 SELECT d.doc_id AS docid, d.source
 FROM documents d JOIN rep ON rep.source = d.source AND rep.keep"""
+
+    # End-to-end curation pipeline: train = doc_id%10<>0, eval = %10=0.
+    # Thresholds mirror _CURATE_KW: the quality gates (min_source_quality,
+    # min_quality) default to 0.0 and are trivially true, so the oracle
+    # reduces them away; the discriminating gates are avg_tokens>=55
+    # (source), n_tokens>=55 (doc), any-shared-8-window (decontaminate),
+    # and the 90% md5 hash sample.
+    _W8 = _hash60("array_to_string(toks[start : start + 7], ' ')")
+    _CURATE = f"""WITH {_WS},
+tr AS (
+  SELECT d.doc_id, d.source, d.text, wtl.toks, len(wtl.toks) AS n
+  FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id
+  WHERE d.doc_id % 10 <> 0
+),
+src AS (
+  SELECT source FROM (
+    SELECT source, round(avg(n::DOUBLE), 4) AS at FROM tr GROUP BY source
+  ) WHERE at >= 55.0
+),
+s1 AS (SELECT * FROM tr WHERE source IN (SELECT source FROM src)),
+s2 AS (
+  SELECT * FROM s1
+  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+),
+s3 AS (SELECT * FROM s2 WHERE n >= 55),
+ev AS (
+  SELECT d.doc_id, wtl.toks, len(wtl.toks) AS n
+  FROM documents d JOIN wtl ON wtl.doc_id = d.doc_id
+  WHERE d.doc_id % 10 = 0 AND len(wtl.toks) >= 8
+),
+evw AS (
+  SELECT DISTINCT {_W8} AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, n - 6)) AS start FROM ev)
+),
+flag AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, toks, unnest(range(1, n - 6)) AS start
+        FROM s3 WHERE n >= 8)
+  WHERE {_W8} IN (SELECT h FROM evw)
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+s5 AS (
+  SELECT * FROM s4
+  WHERE {_hash60("'curate-v1|' || doc_id::VARCHAR")} % 1000000 < 900000
+)"""
+
+    sqls["curated_docs"] = _CURATE + """
+SELECT doc_id AS docid, source FROM s5"""
+
+    sqls["curation_funnel"] = _CURATE + """
+SELECT 0 AS stage_idx, 'input' AS stage, (SELECT count(*) FROM tr)::BIGINT AS n_docs
+UNION ALL SELECT 1, 'source_filter', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL SELECT 3, 'doc_gates', (SELECT count(*) FROM s3)::BIGINT
+UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)::BIGINT
+UNION ALL SELECT 5, 'sample', (SELECT count(*) FROM s5)::BIGINT"""
 
     sqls["quality_scores"] = f"""WITH {_WS},
 b AS (

@@ -32,6 +32,10 @@ from mini_search_engine_spark.ops.classify import (
     nb_score,
     nb_train,
 )
+from mini_search_engine_spark.ops.curate import (
+    curate,
+    curation_funnel,
+)
 from mini_search_engine_spark.ops.domains import (
     source_filter,
     source_stats,
@@ -123,6 +127,8 @@ __all__ = [
     "lsh_cosine_topk",
     "lm_perplexity",
     "lm_train_bigram",
+    "curate",
+    "curation_funnel",
     "source_filter",
     "source_stats",
     "NBModel",
