@@ -1267,6 +1267,30 @@ def q_curation_funnel(spark, sf_dir):
     return curation_funnel(tr, eval_docs=ev, **_CURATE_KW)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (ops/pq.py): every embedding → 8
+    4-bit-range codes via one Arrow-batched argmin pass against the
+    seeded fixture codebooks; exploded to (vec_id, sub, code) scalars for
+    the cross-engine hash."""
+    from mini_search_engine_spark.ops import pq_encode, seeded_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = pq_encode(emb, seeded_codebooks())
+    return enc.select("vec_id", F.posexplode("codes").alias("sub", "code"))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """ADC top-10 over PQ codes (ops/pq.py): query = vec_id 0's vector,
+    lookup table folded over the code arrays in pure Catalyst — the float
+    vectors are read once (the 1-row query fetch), never at scoring."""
+    from mini_search_engine_spark.ops import pq_adc_topk, pq_encode, seeded_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = seeded_codebooks()
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return pq_adc_topk(pq_encode(emb, cb), list(q), cb, topk=10, metric="ip")
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1471,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_filtered_docs": q_source_filtered,
         "curated_docs": q_curated_docs,
         "curation_funnel": q_curation_funnel,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2929,6 +2955,52 @@ UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL SELECT 3, 'doc_gates', (SELECT count(*) FROM s3)::BIGINT
 UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s4)::BIGINT
 UNION ALL SELECT 5, 'sample', (SELECT count(*) FROM s5)::BIGINT"""
+
+    # Product quantization: the SAME seeded codebooks the Spark entries
+    # use, embedded as a 128-row VALUES literal; code assignment =
+    # first-min over distances rounded to pq.DIST_ROUND (argmin tie rule =
+    # lowest code, matching numpy's first-occurrence argmin); ADC score =
+    # sum of lut[sub][code] rounded to 6.
+    from mini_search_engine_spark.ops.pq import DIST_ROUND, seeded_codebooks
+
+    _cb = seeded_codebooks()
+    _cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(v)) for v in _cb[j, c])}])"
+        for j in range(_cb.shape[0])
+        for c in range(_cb.shape[1])
+    )
+    _SUB = _cb.shape[2]
+    _PQ = f"""WITH cbt AS (
+  SELECT * FROM (VALUES {_cb_rows}) AS t(sub, code, cent)
+),
+d AS (
+  SELECT e.vec_id, cbt.sub, cbt.code,
+         round(list_sum(list_transform(range(1, {_SUB + 1}),
+           i -> (cbt.cent[i] - e.embedding[cbt.sub * {_SUB} + i])
+              * (cbt.cent[i] - e.embedding[cbt.sub * {_SUB} + i]))), {DIST_ROUND}) AS dist
+  FROM embeddings e CROSS JOIN cbt
+),
+codes AS (
+  SELECT vec_id, sub, code FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) = 1
+)"""
+
+    sqls["pq_codes"] = _PQ + """
+SELECT vec_id, sub::INT AS sub, code::INT AS code FROM codes"""
+
+    sqls["pq_adc_topk"] = _PQ + f""",
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT cbt.sub, cbt.code,
+         list_sum(list_transform(range(1, {_SUB + 1}),
+           i -> q.qe[cbt.sub * {_SUB} + i] * cbt.cent[i])) AS v
+  FROM cbt CROSS JOIN q
+)
+SELECT c.vec_id, round(sum(l.v), 6) AS score
+FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+GROUP BY c.vec_id
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10"""
 
     sqls["quality_scores"] = f"""WITH {_WS},
 b AS (

@@ -44,6 +44,13 @@ from mini_search_engine_spark.ops.lm import (
     lm_perplexity,
     lm_train_bigram,
 )
+from mini_search_engine_spark.ops.pq import (
+    adc_lut,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+    seeded_codebooks,
+)
 from mini_search_engine_spark.ops.cluster import (
     connected_components,
     dedup_clusters,
@@ -127,8 +134,13 @@ __all__ = [
     "lsh_cosine_topk",
     "lm_perplexity",
     "lm_train_bigram",
+    "adc_lut",
     "curate",
     "curation_funnel",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train",
+    "seeded_codebooks",
     "source_filter",
     "source_stats",
     "NBModel",
