@@ -312,6 +312,51 @@ def main():
     timed_ext("champion_bm25_top10", lambda: bm25_topk(champ, QUERY_TERMS, 10).collect())
     champ.postings.unpersist()
 
+    # round-5 operators: LM scoring, domain curation, end-to-end pipeline,
+    # PQ. Actions are aggregates over computed columns (NOT bare count())
+    # so Catalyst cannot prune the operator under test out of the plan.
+    from mini_search_engine_spark.ops import (
+        curate,
+        lm_perplexity,
+        nb_classify,
+        pq_adc_topk,
+        pq_encode,
+        seeded_codebooks,
+        source_stats,
+    )
+
+    timed_ext(
+        "lm_perplexity",
+        lambda: lm_perplexity(docs).agg(F.sum("n_bigrams")).collect(),
+    )
+    timed_ext(
+        "nb_classify_lang",
+        lambda: nb_classify(docs, content_col="content", label_col="lang")
+        .agg(F.sum("score"))
+        .collect(),
+    )
+    timed_ext("source_stats", lambda: source_stats(docs).collect())
+    _ev5 = docs.filter(F.col("docid") % 10 == 0)
+    _tr5 = docs.filter(F.col("docid") % 10 != 0)
+    timed_ext(
+        "curate_pipeline",
+        lambda: curate(
+            _tr5, eval_docs=_ev5, min_avg_tokens=55.0, min_doc_tokens=55,
+            sample_rate=0.9,
+        ).count(),
+    )
+    _cb5 = seeded_codebooks()
+    timed_ext(
+        "pq_encode",
+        lambda: pq_encode(emb, _cb5)
+        .agg(F.sum(F.element_at("codes", 1)))
+        .collect(),
+    )
+    timed_ext(
+        "pq_adc_top10",
+        lambda: pq_adc_topk(pq_encode(emb, _cb5), list(qv), _cb5, 10).collect(),
+    )
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",

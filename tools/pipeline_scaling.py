@@ -1,0 +1,148 @@
+"""Two-parallelism scaling evidence for the r5 pipeline operators
+(north-rule style): lm_perplexity (bigram-LM quality scoring) and the
+composed curation pipeline over the SAME generated corpus at N and 4N
+cores; throughput at both + efficiency.
+
+Usage: python tools/pipeline_scaling.py [n_docs] [n_lo] [rounds]
+       (defaults 1_000_000 docs, 2→8 cores, 2 interleaved rounds)
+
+Protocol per BENCH/BASELINE.md: fresh taskset-pinned JVM per
+measurement, levels interleaved, min-of-rounds, one FULL untimed warm
+run per op (codegen/JIT), corpus read from storage (parquet decode is
+CPU work that scales — an in-memory cache turns the job memory-bus-
+bound; see percolate_scaling.py).
+
+Config notes:
+* lm_perplexity runs with broadcast_model=False + min_count=5 — at this
+  vocabulary (~4.3k terms) the bigram table is millions of rows, which
+  is the SHUFFLE-join regime a 100 TB corpus would be in; broadcasting
+  it would measure the wrong design (and OOM the driver at scale).
+* curate runs the full funnel config: source gate (repo axis), exact
+  dedup, min_doc_tokens=45 (doc lengths are 30..90 — splits the corpus),
+  decontamination vs the docid%101==0 slice, 90% hash sample. The
+  survivor count is the cross-level invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = os.path.join(tempfile.gettempdir(), "pipeline_scaling_corpus")
+
+
+def child(cpus: int) -> None:
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_search_engine_spark.corpus import load_corpus
+    from mini_search_engine_spark.ops import curate, lm_perplexity
+    from mini_search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pipe-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=32,  # FIXED across core counts (see percolate_scaling)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = spark.read.parquet(CORPUS)
+    # docid must be PARALLELISM-INDEPENDENT for the cross-level invariants
+    # (assign_docids stamps partition offsets, and scan splits vary with
+    # core count) — the generator encodes the original id in the path.
+    docs = (
+        load_corpus(raw)
+        .withColumn("source", F.col("repo"))
+        .withColumn("docid", F.regexp_extract("path", r"f(\d+)\.java", 1).cast("long"))
+    )
+
+    def run_lm():
+        out = lm_perplexity(docs, min_count=5, broadcast_model=False)
+        row = out.agg(
+            F.count("*").alias("n"), F.sum("n_bigrams").alias("bg")
+        ).collect()[0]
+        return int(row["n"]), int(row["bg"])
+
+    def run_curate():
+        ev = docs.filter(F.col("docid") % 101 == 0)
+        tr = docs.filter(F.col("docid") % 101 != 0)
+        return curate(
+            tr,
+            eval_docs=ev,
+            min_avg_tokens=1.0,
+            min_doc_tokens=45,
+            window=8,
+            sample_rate=0.9,
+            salt="soak-v1",
+        ).count()
+
+    results = {}
+    for name, fn in (("lm", run_lm), ("curate", run_curate)):
+        fn()  # full untimed warm run (JIT + codegen + footer reads)
+        t0 = time.time()
+        results[f"{name}_inv"] = fn()
+        results[f"{name}_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(results))
+    spark.stop()
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_hi = 4 * n_lo
+
+    from mini_search_engine_spark.session import get_spark
+    from tools.soak_bench import fast_synthetic_corpus
+
+    spark = get_spark(app_name="pipe-scale-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    fast_synthetic_corpus(spark, n_docs, 128).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+
+    def run(cpus: int) -> dict:
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+            os.path.abspath(__file__), "child", str(cpus),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ops = ("lm", "curate")
+    samples: dict[str, dict[int, list[float]]] = {o: {n_lo: [], n_hi: []} for o in ops}
+    inv: dict[str, object] = {}
+    for _ in range(rounds):
+        for cpus in (n_lo, n_hi):
+            r = run(cpus)
+            for o in ops:
+                samples[o][cpus].append(r[f"{o}_sec"])
+                key = f"{o}_inv"
+                assert inv.get(key) in (None, r[key]), f"{key} must be invariant"
+                inv[key] = r[key]
+    out = {"n_docs": n_docs, "pair": f"{n_lo}->{n_hi}", "invariants": inv}
+    for o in ops:
+        t_lo, t_hi = min(samples[o][n_lo]), min(samples[o][n_hi])
+        out[o] = {
+            "sec_lo": t_lo,
+            "sec_hi": t_hi,
+            "docs_per_sec_hi": round(n_docs / t_hi, 1),
+            "speedup": round(t_lo / t_hi, 3),
+            "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
+            "samples": samples[o],
+        }
+    print(json.dumps(out))
+    shutil.rmtree(CORPUS, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "child":
+        child(int(sys.argv[2]))
+    else:
+        main()
