@@ -1291,6 +1291,25 @@ def q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(pq_encode(emb, cb), list(q), cb, topk=10, metric="ip")
 
 
+def q_ivfadc_topk(spark, sf_dir):
+    """IVFADC top-10 (ops/ivfadc.py): coarse assignment + residual PQ
+    codes in one Arrow pass, then nprobe=4 of 16 lists scored by the ADC
+    fold + per-list constant — the FAISS billion-scale architecture.
+    Seeded centroid/codebook fixtures shared with the DuckDB oracle."""
+    from mini_search_engine_spark.ops import (
+        ivfadc_encode,
+        ivfadc_topk,
+        seeded_centroids,
+        seeded_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, cb = seeded_centroids(), seeded_codebooks()
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    enc = ivfadc_encode(emb, cent, cb)
+    return ivfadc_topk(enc, cent, cb, list(q), k=10, nprobe=4)
+
+
 def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
     """Append deterministic PII (email + phone + IPv4 derived from docid)
     to every document's content — the corpus itself is digit-free, so
@@ -1497,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfadc_topk": q_ivfadc_topk,
         "media_features": q_media_features,
         "bpe_token_counts": q_bpe_counts,
         # --- operators REWRITTEN/regated in r5: need current driver rows ---
@@ -2998,6 +3018,73 @@ lut AS (
 )
 SELECT c.vec_id, round(sum(l.v), 6) AS score
 FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+GROUP BY c.vec_id
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10"""
+
+    # IVFADC: coarse assignment (rounded ip argmax, ties -> lowest list),
+    # residual PQ codes (same rounding/tie rules as pq_codes), probe the
+    # nprobe best lists by rounded ip(q, centroid), score = per-list
+    # constant + ADC fold. Same seeded fixtures as the Spark entry.
+    from mini_search_engine_spark.ops.ivfadc import seeded_centroids
+
+    _cent = seeded_centroids()
+    _cvt_rows = ", ".join(
+        f"({p}, [{', '.join(repr(float(v)) for v in _cent[p])}])"
+        for p in range(_cent.shape[0])
+    )
+    _DIM = _cent.shape[1]
+    sqls["ivfadc_topk"] = f"""WITH cvt AS (
+  SELECT * FROM (VALUES {_cvt_rows}) AS t(lst, cvec)
+),
+cbt AS (
+  SELECT * FROM (VALUES {_cb_rows}) AS t(sub, code, cent)
+),
+adot AS (
+  SELECT e.vec_id, cvt.lst,
+         round(list_sum(list_transform(range(1, {_DIM + 1}),
+           i -> e.embedding[i] * cvt.cvec[i])), {DIST_ROUND}) AS d
+  FROM embeddings e CROSS JOIN cvt
+),
+asg AS (
+  SELECT vec_id, lst FROM adot
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, lst ASC) = 1
+),
+res AS (
+  SELECT e.vec_id, asg.lst,
+         list_transform(range(1, {_DIM + 1}), i -> e.embedding[i] - cvt.cvec[i]) AS r
+  FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id
+  JOIN cvt ON cvt.lst = asg.lst
+),
+rd AS (
+  SELECT res.vec_id, res.lst, cbt.sub, cbt.code,
+         round(list_sum(list_transform(range(1, {_SUB + 1}),
+           i -> (cbt.cent[i] - res.r[cbt.sub * {_SUB} + i])
+              * (cbt.cent[i] - res.r[cbt.sub * {_SUB} + i]))), {DIST_ROUND}) AS dist
+  FROM res CROSS JOIN cbt
+),
+codes AS (
+  SELECT vec_id, lst, sub, code FROM rd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cvt.lst,
+         round(list_sum(list_transform(range(1, {_DIM + 1}),
+           i -> q.qe[i] * cvt.cvec[i])), {DIST_ROUND}) AS qc
+  FROM cvt CROSS JOIN q
+  ORDER BY qc DESC, lst ASC LIMIT 4
+),
+lut AS (
+  SELECT cbt.sub, cbt.code,
+         list_sum(list_transform(range(1, {_SUB + 1}),
+           i -> q.qe[cbt.sub * {_SUB} + i] * cbt.cent[i])) AS v
+  FROM cbt CROSS JOIN q
+)
+SELECT c.vec_id, round(any_value(p.qc) + sum(l.v), 6) AS score
+FROM codes c
+JOIN probes p ON p.lst = c.lst
+JOIN lut l ON l.sub = c.sub AND l.code = c.code
 GROUP BY c.vec_id
 ORDER BY score DESC, c.vec_id ASC
 LIMIT 10"""

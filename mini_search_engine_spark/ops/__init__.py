@@ -44,6 +44,12 @@ from mini_search_engine_spark.ops.lm import (
     lm_perplexity,
     lm_train_bigram,
 )
+from mini_search_engine_spark.ops.ivfadc import (
+    ivf_train_centroids,
+    ivfadc_encode,
+    ivfadc_topk,
+    seeded_centroids,
+)
 from mini_search_engine_spark.ops.pq import (
     adc_lut,
     pq_adc_topk,
@@ -137,9 +143,13 @@ __all__ = [
     "adc_lut",
     "curate",
     "curation_funnel",
+    "ivf_train_centroids",
+    "ivfadc_encode",
+    "ivfadc_topk",
     "pq_adc_topk",
     "pq_encode",
     "pq_train",
+    "seeded_centroids",
     "seeded_codebooks",
     "source_filter",
     "source_stats",
