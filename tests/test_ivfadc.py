@@ -100,6 +100,29 @@ def test_scoring_is_codegen_only(spark, emb):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivfadc_on_disk_partition_pruning(spark, emb, tmp_path):
+    """IVFADC codes written through write_ivf_index (partitioned by
+    ivf_list) must answer probes with PartitionFilters pruning — the
+    100 TB serving shape: a query's files = its probed lists only, each
+    holding 8-byte codes instead of float vectors."""
+    from mini_search_engine_spark.ops.ann import read_ivf_index, write_ivf_index
+
+    cent, cb = seeded_centroids(), seeded_codebooks()
+    enc = ivfadc_encode(emb, cent, cb)
+    path = str(tmp_path / "ivfadc")
+    write_ivf_index(enc, path)
+    disk = read_ivf_index(spark, path)
+
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    mem = [r["vec_id"] for r in ivfadc_topk(enc, cent, cb, q, k=10, nprobe=4).collect()]
+    dsk_df = ivfadc_topk(disk, cent, cb, q, k=10, nprobe=4)
+    assert [r["vec_id"] for r in dsk_df.collect()] == mem
+    plan = dsk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+    # the on-disk plan reads codes only — no embedding column, no Python
+    assert "ArrowEvalPython" not in plan and "embedding" not in plan
+
+
 def test_dim_mismatch_raises(spark, emb):
     with pytest.raises(ValueError, match="centroid dim"):
         ivfadc_encode(emb, np.zeros((4, 32)), seeded_codebooks())
