@@ -3,8 +3,18 @@
 composed curation pipeline over the SAME generated corpus at N and 4N
 cores; throughput at both + efficiency.
 
-Usage: python tools/pipeline_scaling.py [n_docs] [n_lo] [rounds]
-       (defaults 1_000_000 docs, 2→8 cores, 2 interleaved rounds)
+Usage: python tools/pipeline_scaling.py [n_docs] [n_lo] [rounds] [ops] [gen]
+       (defaults 1_000_000 docs, 2→8 cores, 2 interleaved rounds,
+       ops = comma list from {lm,curate} (default both),
+       gen = fast | zipf corpus generator)
+
+Generator choice matters for CURATE's invariant: the uniform `fast`
+generator's word index collapses mod the ~4.3k vocabulary, so ~n/V docs
+per residue class share IDENTICAL token streams — every train doc then
+shares an 8-window with some eval doc and decontamination (correctly)
+drops the whole corpus (survivors=0: honest work, degenerate funnel).
+The `zipf` twin draws ranks from a 62-bit hash with no such collapse, so
+the funnel stays populated end-to-end.
 
 Protocol per BENCH/BASELINE.md: fresh taskset-pinned JVM per
 measurement, levels interleaved, min-of-rounds, one FULL untimed warm
@@ -37,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CORPUS = os.path.join(tempfile.gettempdir(), "pipeline_scaling_corpus")
 
 
-def child(cpus: int) -> None:
+def child(cpus: int, ops: str = "lm,curate") -> None:
     import time
 
     from pyspark.sql import functions as F
@@ -82,8 +92,11 @@ def child(cpus: int) -> None:
             salt="soak-v1",
         ).count()
 
+    wanted = set(ops.split(","))
     results = {}
     for name, fn in (("lm", run_lm), ("curate", run_curate)):
+        if name not in wanted:
+            continue
         fn()  # full untimed warm run (JIT + codegen + footer reads)
         t0 = time.time()
         results[f"{name}_inv"] = fn()
@@ -97,25 +110,28 @@ def main() -> None:
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_hi = 4 * n_lo
+    ops_arg = sys.argv[4] if len(sys.argv) > 4 else "lm,curate"
+    gen_name = sys.argv[5] if len(sys.argv) > 5 else "fast"
 
     from mini_search_engine_spark.session import get_spark
-    from tools.soak_bench import fast_synthetic_corpus
+    from tools.soak_bench import fast_synthetic_corpus, zipf_synthetic_corpus
 
+    gen = fast_synthetic_corpus if gen_name == "fast" else zipf_synthetic_corpus
     spark = get_spark(app_name="pipe-scale-gen", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(CORPUS, ignore_errors=True)
-    fast_synthetic_corpus(spark, n_docs, 128).write.mode("overwrite").parquet(CORPUS)
+    gen(spark, n_docs, 128).write.mode("overwrite").parquet(CORPUS)
     spark.stop()
 
     def run(cpus: int) -> dict:
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}", sys.executable,
-            os.path.abspath(__file__), "child", str(cpus),
+            os.path.abspath(__file__), "child", str(cpus), ops_arg,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    ops = ("lm", "curate")
+    ops = tuple(ops_arg.split(","))
     samples: dict[str, dict[int, list[float]]] = {o: {n_lo: [], n_hi: []} for o in ops}
     inv: dict[str, object] = {}
     for _ in range(rounds):
@@ -126,7 +142,12 @@ def main() -> None:
                 key = f"{o}_inv"
                 assert inv.get(key) in (None, r[key]), f"{key} must be invariant"
                 inv[key] = r[key]
-    out = {"n_docs": n_docs, "pair": f"{n_lo}->{n_hi}", "invariants": inv}
+    out = {
+        "n_docs": n_docs,
+        "pair": f"{n_lo}->{n_hi}",
+        "gen": gen_name,
+        "invariants": inv,
+    }
     for o in ops:
         t_lo, t_hi = min(samples[o][n_lo]), min(samples[o][n_hi])
         out[o] = {
@@ -143,6 +164,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "child":
-        child(int(sys.argv[2]))
+        child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "lm,curate")
     else:
         main()
