@@ -356,6 +356,15 @@ def main():
         "pq_adc_top10",
         lambda: pq_adc_topk(pq_encode(emb, _cb5), list(qv), _cb5, 10).collect(),
     )
+    from mini_search_engine_spark.ops import ivfadc_encode, ivfadc_topk, seeded_centroids
+
+    _cent5 = seeded_centroids()
+    timed_ext(
+        "ivfadc_top10",
+        lambda: ivfadc_topk(
+            ivfadc_encode(emb, _cent5, _cb5), _cent5, _cb5, list(qv), 10, nprobe=4
+        ).collect(),
+    )
 
     total = sum(timings.values())
     out = {
