@@ -96,8 +96,15 @@ def _stage_frames(
     )
 
     if eval_docs is not None:
+        # The contamination flag is a PURE PER-DOC function (own content ×
+        # eval window set), so compute it from the RAW input rather than
+        # s3: flagging s3 would re-derive the whole upstream prefix —
+        # including the dedup window SHUFFLE — a second time under the
+        # anti-join's right side (exchange reuse does not fire across it).
+        # Flags for docs the earlier stages dropped are harmless extras in
+        # an anti-join; the survivors' verdicts are identical.
         flagged = decontaminate(
-            s3, eval_docs, window=window, content_col=content_col
+            docs, eval_docs, window=window, content_col=content_col
         ).filter(F.col("contam_frac") > F.lit(float(max_contam_frac)))
         s4 = s3.join(flagged.select(id_col), on=id_col, how="left_anti").select(
             *docs.columns
