@@ -838,6 +838,44 @@ def q_doc_deletes_bm25(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+def q_upsert_bm25(spark, sf_dir):
+    """Atomic on-disk upsert (streaming/ingest.upsert_docs — the Iceberg
+    MERGE commit; the reference's only mutation is append): commit the
+    base index, then ONE snapshot both appends the revised docs (fresh
+    content-addressed docids) and tombstones the superseded ids in an
+    equality-delete file; BM25 runs on the merged-on-read view. The
+    oracle builds from scratch on the post-upsert corpus, so df, n_docs,
+    avgdl and every posting block must shift exactly."""
+    import os
+
+    from mini_search_engine_spark.streaming import (
+        read_segmented_index,
+        upsert_docs,
+        write_segment,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    # scratch path keyed by corpus dir AND app id (see q_ann_ivf)
+    path = "/tmp/mse_upsert_idx_{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        spark.sparkContext.applicationId,
+    )
+    write_segment(
+        build_index(docs, analyzer=ANALYZER, block_span=BLOCK_SPAN), path, "base"
+    )
+    old = docs.filter(F.col("docid") % 11 == 4)
+    revised = old.select(
+        (F.col("docid") + 100000000).alias("docid"),
+        F.concat(F.col("content"), F.lit(" upsert probe merge")).alias("content"),
+    )
+    upsert_docs(
+        spark, path, revised, old.select("docid"),
+        analyzer=ANALYZER, block_span=BLOCK_SPAN, seg_id="u1",
+    )
+    idx = read_segmented_index(spark, path, analyzer=ANALYZER, block_span=BLOCK_SPAN)
+    return _round_score(bm25_topk(idx, ["spark", "merge"], topk=50), k=10)
+
+
 def q_bm25_pruned(spark, sf_dir):
     raw = bm25_topk(
         _index(spark, sf_dir), ["filter", "join", "scan"], topk=50, prune=True
@@ -1508,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recently-green unchanged entries at the tail.
     return {
         # --- new in r5 ---
+        "upsert_bm25": q_upsert_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
         "source_stats": q_source_stats,
@@ -2518,6 +2557,21 @@ SELECT docid FROM (
     sqls["bm25_topk_fused_cold"] = _bm25_sql(["spark", "merge"])
     sqls["bm25_topk_pruned"] = _bm25_sql(["filter", "join", "scan"])
     sqls["doc_deletes_bm25"] = _bm25_sql(["spark", "merge"], doc_where="doc_id % 7 <> 3")
+
+    # upsert: BM25 over the post-upsert corpus built from scratch — docs with
+    # doc_id % 11 = 4 replaced by revised rows under fresh docids (+1e8).
+    # Replace every corpus scan in the BM25 template with the modified
+    # relation FIRST, then prepend the CTE (whose own FROM documents is the
+    # one legitimate raw scan).
+    _upsert_mod = """docs_mod AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4
+  UNION ALL
+  SELECT doc_id + 100000000 AS doc_id, text || ' upsert probe merge' AS text
+  FROM documents WHERE doc_id % 11 = 4
+)"""
+    sqls["upsert_bm25"] = _bm25_sql(["spark", "merge"]).replace(
+        "FROM documents", "FROM docs_mod"
+    ).replace("WITH ", "WITH " + _upsert_mod + ",\n", 1)
 
     sqls["term_df"] = f"""WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term"""

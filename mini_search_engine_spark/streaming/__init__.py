@@ -17,6 +17,7 @@ from mini_search_engine_spark.streaming.ingest import (
     read_segmented_index,
     streaming_exact_dedup,
     session_event_counts,
+    upsert_docs,
     windowed_event_counts,
     write_segment,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "read_snapshot",
     "streaming_exact_dedup",
     "session_event_counts",
+    "upsert_docs",
     "windowed_event_counts",
     "write_segment",
 ]

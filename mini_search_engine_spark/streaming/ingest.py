@@ -371,6 +371,92 @@ def delete_docs(spark: SparkSession, index_path: str, docids) -> Snapshot:
     )
 
 
+def upsert_docs(
+    spark: SparkSession,
+    index_path: str,
+    docs: DataFrame,
+    replace_docids,
+    analyzer: str = "porter",
+    positional: bool = False,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    seg_id: str | None = None,
+) -> Snapshot:
+    """Atomic upsert — the Iceberg ``MERGE INTO`` commit the reference has
+    no analog for (its only mutation is append; ``InvertedIndexManager``
+    re-adds a changed document as a new one). ONE snapshot both appends a
+    segment built from ``docs`` (the new/revised documents) and tombstones
+    ``replace_docids`` (the superseded ones): readers of the new snapshot
+    see the swap complete, readers of the old snapshot see neither half,
+    and a crash at any point leaves the previous snapshot current with at
+    worst unreferenced data for ``gc`` to sweep.
+
+    Identity is content-addressed (``corpus.assign_docids`` derives docids
+    from the document rows), so a REVISED document arrives under a FRESH
+    docid and its superseded docid goes into an equality-delete file. That
+    is exactly what makes one global tombstone set sufficient: no future
+    segment can legitimately re-introduce a tombstoned docid, so deletes
+    never need Iceberg's sequence-number scoping. A ``docs`` docid that
+    also appears in ``replace_docids`` would be eaten by its own tombstone
+    — that is a caller bug and raises ``ValueError``.
+
+    ``docs``: canonical (docid, content, …) frame whose docids are not
+    live in the index. ``replace_docids``: DataFrame with a ``docid``
+    column or iterable of ints; may be empty (pure insert). ``seg_id``
+    defaults to ``upsert-<next snapshot id>``; pass a stable id to make
+    retries idempotent (an already-committed ``seg_id`` is a no-op, like
+    ``write_segment``'s replay guard). Returns the committed (or current,
+    on no-op) Snapshot."""
+    snap = current_snapshot(spark, index_path)
+    if snap is None:
+        raise FileNotFoundError(
+            f"upsert_docs requires a snapshot-committed index at {index_path}"
+        )
+    if seg_id is None:
+        seg_id = f"upsert-{snap.snapshot_id + 1}"
+    if seg_id in snap.folded or seg_id in snap.segments:
+        return snap
+    if isinstance(replace_docids, DataFrame):
+        tomb = replace_docids.select(
+            F.col("docid").cast("long").alias("docid")
+        ).distinct()
+    else:
+        tomb = spark.createDataFrame(
+            [(int(d),) for d in replace_docids], "docid long"
+        ).distinct()
+    # self-tombstone guard: one bounded job over the (small) updated frame
+    clash = (
+        docs.select("docid").join(tomb, "docid", "left_semi").limit(1).count()
+    )
+    if clash:
+        raise ValueError(
+            "upsert_docs: docs and replace_docids share docids — revised "
+            "documents must carry fresh (content-addressed) docids"
+        )
+    idx = build_index(
+        docs, analyzer=analyzer, positional=positional, block_span=block_span
+    )
+    base = f"{index_path}/segments/seg={seg_id}"
+    idx.postings.write.mode("overwrite").parquet(f"{base}/postings")
+    idx.doclens.write.mode("overwrite").parquet(f"{base}/doclens")
+    idx.termstats.write.mode("overwrite").parquet(f"{base}/termstats")
+    deletes = list(snap.deletes)
+    if tomb.limit(1).count():
+        name = (
+            f"del-{snap.snapshot_id + 1}-"
+            f"{spark.sparkContext.applicationId}-{time.monotonic_ns()}"
+        )
+        tomb.write.mode("error").parquet(f"{index_path}/deletes/{name}")
+        deletes.append(name)
+    return commit_snapshot(
+        spark,
+        index_path,
+        segments=[*snap.segments, seg_id],
+        folded=snap.folded,
+        deletes=deletes,
+        base=snap,
+    )
+
+
 def compact_segments(index: InvertedIndex) -> InvertedIndex:
     """Merge a segmented index into single (term, block) rows (≅ mergeAllSegments)."""
     return merge_segments([index])
