@@ -953,6 +953,69 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_candidate_pairs(load_documents(spark, sf_dir))
 
 
+def _scratch(prefix: str, spark, sf_dir) -> str:
+    import os
+
+    return "/tmp/{}_{}_{}".format(
+        prefix,
+        os.path.basename(os.path.normpath(sf_dir)),
+        spark.sparkContext.applicationId,
+    )
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Nightly incremental near-dedup THROUGH STORAGE: corpus docs with
+    docid % 4 != 0 play the existing (already-deduped) corpus — their LSH
+    band keys are written to a Hive-partitioned parquet store — and docs
+    with docid % 4 == 0 play the incoming batch, deduped against the store
+    plus within themselves. The store streams once under broadcast probes
+    (no store shuffle; plan asserted in tests/test_incremental.py)."""
+    from mini_search_engine_spark.ops import (
+        incremental_minhash_flags,
+        read_minhash_store,
+        write_minhash_store,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    path = _scratch("mse_mh_store", spark, sf_dir)
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    store = read_minhash_store(spark, path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    out = incremental_minhash_flags(batch, store)
+    # presentation only: -1 sentinel for "no match" so the gate's
+    # order-insensitive tuple sort never compares int with NULL
+    return out.select(
+        "docid",
+        F.coalesce("store_match", F.lit(-1)).alias("store_match"),
+        F.coalesce("batch_match", F.lit(-1)).alias("batch_match"),
+        "is_dup",
+    ).orderBy("docid")
+
+
+def q_incremental_exact(spark, sf_dir):
+    """Exact-content incremental dedup against a persisted (sha,
+    canonical_docid) store; same batch/corpus split and broadcast-probe
+    plan shape as incremental_dedup."""
+    from mini_search_engine_spark.ops import (
+        incremental_exact_flags,
+        read_exact_store,
+        write_exact_store,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    path = _scratch("mse_sha_store", spark, sf_dir)
+    write_exact_store(docs.filter(F.col("docid") % 4 != 0), path)
+    store = read_exact_store(spark, path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    out = incremental_exact_flags(batch, store)
+    return out.select(
+        "docid",
+        F.coalesce("store_canonical", F.lit(-1)).alias("store_canonical"),
+        F.coalesce("batch_dup_of", F.lit(-1)).alias("batch_dup_of"),
+        "is_dup",
+    ).orderBy("docid")
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicate-span detection (ops/dedup.py duplicate_spans):
     8-token windows appearing verbatim in ≥2 docs, with per-doc duplicated
@@ -1546,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recently-green unchanged entries at the tail.
     return {
         # --- new in r5 ---
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_exact": q_incremental_exact,
         "upsert_bm25": q_upsert_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -2618,6 +2683,47 @@ FROM documents GROUP BY sha256(text)"""
     )
 
     sqls["minhash_pairs"] = "WITH " + _PAIRS + "\nSELECT docid_a, docid_b FROM pairs"
+
+    # incremental dedup: bands CTE computed over ALL docs (same formulas as
+    # minhash_pairs), then split into the persisted-corpus half (doc_id%4<>0)
+    # and the incoming batch (doc_id%4=0) exactly as the Spark entry does.
+    sqls["incremental_dedup"] = "WITH " + _BANDS + """,
+base AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 4 <> 0),
+batch AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id % 4 = 0),
+sm AS (
+  SELECT n.doc_id, min(s.doc_id) AS store_match
+  FROM batch n JOIN base s ON n.band = s.band AND n.band_key = s.band_key
+  GROUP BY n.doc_id
+),
+bmin AS (SELECT band, band_key, min(doc_id) AS m FROM batch GROUP BY band, band_key),
+bm AS (
+  SELECT n.doc_id, min(b.m) AS batch_match
+  FROM batch n JOIN bmin b ON n.band = b.band AND n.band_key = b.band_key
+  WHERE b.m < n.doc_id
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id AS docid,
+       coalesce(sm.store_match, -1) AS store_match,
+       coalesce(bm.batch_match, -1) AS batch_match,
+       CAST(sm.store_match IS NOT NULL OR bm.batch_match IS NOT NULL AS INT) AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN sm ON d.doc_id = sm.doc_id
+LEFT JOIN bm ON d.doc_id = bm.doc_id
+ORDER BY docid"""
+
+    # exact incremental dedup: DuckDB groups on raw text (equivalent to the
+    # engine's sha256 key — the hash only partitions identical contents).
+    sqls["incremental_exact"] = """WITH
+b AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+s AS (SELECT text, min(doc_id) AS store_canonical
+      FROM documents WHERE doc_id % 4 <> 0 GROUP BY text),
+m AS (SELECT text, min(doc_id) AS batch_canonical FROM b GROUP BY text)
+SELECT b.doc_id AS docid,
+       coalesce(s.store_canonical, -1) AS store_canonical,
+       coalesce(CASE WHEN m.batch_canonical < b.doc_id THEN m.batch_canonical END, -1) AS batch_dup_of,
+       CAST(s.store_canonical IS NOT NULL OR m.batch_canonical < b.doc_id AS INT) AS is_dup
+FROM b LEFT JOIN s ON b.text = s.text JOIN m ON b.text = m.text
+ORDER BY docid"""
 
     # W=8; DuckDB slice [a : a+7] is inclusive (8 tokens), range() stop is
     # exclusive (starts 1..n-7); interval-union via lag works because W is

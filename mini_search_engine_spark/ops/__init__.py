@@ -13,6 +13,16 @@ from mini_search_engine_spark.ops.dedup import (
     simhash,
     ngram_jaccard_pairs,
 )
+from mini_search_engine_spark.ops.incremental import (
+    append_exact_store,
+    append_minhash_store,
+    incremental_exact_flags,
+    incremental_minhash_flags,
+    read_exact_store,
+    read_minhash_store,
+    write_exact_store,
+    write_minhash_store,
+)
 from mini_search_engine_spark.ops.ann import (
     cosine_pairs,
     cosine_topk,
@@ -122,6 +132,14 @@ __all__ = [
     "decontaminate",
     "duplicate_spans",
     "exact_dedup",
+    "append_exact_store",
+    "append_minhash_store",
+    "incremental_exact_flags",
+    "incremental_minhash_flags",
+    "read_exact_store",
+    "read_minhash_store",
+    "write_exact_store",
+    "write_minhash_store",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "remove_duplicate_spans",

@@ -1,0 +1,182 @@
+"""Incremental cross-batch dedup (ops/incremental.py): brute-force parity,
+store roundtrip, broadcast-only plan shape, and two-batch sequencing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_search_engine_spark.ops import (
+    append_minhash_store,
+    incremental_exact_flags,
+    incremental_minhash_flags,
+    read_exact_store,
+    read_minhash_store,
+    write_exact_store,
+    write_minhash_store,
+)
+from mini_search_engine_spark.ops.dedup import minhash_bands
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "docid long, content string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """24 docs with planted exact dups, near dups (1-word edits), and
+    uniques, spread across the %4 batch/base split."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark builds distributed inverted indexes with partition local postings",
+        "information retrieval systems rank documents by term frequency scores",
+        "a completely different document about cooking pasta with fresh basil",
+    ]
+    rows = []
+    for i in range(24):
+        fam = i % 4
+        t = texts[fam]
+        if i >= 8 and i % 3 == 0:
+            # near dup: one-word edit of the family text
+            t = t.replace(t.split()[2], "WORD%d" % (i // 12))
+        elif i >= 16 and fam == 3:
+            t = "unique tail doc number %d with its own words entirely" % i
+        rows.append((i, t))
+    return rows
+
+
+def _brute_flags(spark, rows):
+    """Independent reference: collect band keys and brute-force the
+    store/batch matches in Python."""
+    docs = _mk_docs(spark, rows)
+    bands = {
+        r["docid"]: set()
+        for r in docs.select("docid").collect()
+    }
+    for r in minhash_bands(docs).collect():
+        bands[r["docid"]].add((r["band"], r["band_key"]))
+    base = sorted(d for d in bands if d % 4 != 0)
+    batch = sorted(d for d in bands if d % 4 == 0)
+    expected = {}
+    for d in batch:
+        sm = [b for b in base if bands[b] & bands[d]]
+        bm = [b for b in batch if b < d and bands[b] & bands[d]]
+        expected[d] = (
+            min(sm) if sm else None,
+            min(bm) if bm else None,
+            1 if (sm or bm) else 0,
+        )
+    return expected
+
+
+def test_incremental_minhash_matches_bruteforce(spark, corpus, tmp_path):
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_store")
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    store = read_minhash_store(spark, path)
+    out = incremental_minhash_flags(docs.filter(F.col("docid") % 4 == 0), store)
+    got = {
+        r["docid"]: (r["store_match"], r["batch_match"], r["is_dup"])
+        for r in out.collect()
+    }
+    assert got == _brute_flags(spark, corpus)
+
+
+def test_incremental_minhash_on_sf_corpus(spark, sf_dir, tmp_path):
+    """Same parity at sf0.001 (the entry's own split) — guards the oracle."""
+    from mini_search_engine_spark.corpus import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    rows = [(r["docid"], r["content"]) for r in docs.collect()]
+    path = str(tmp_path / "mh_store_sf")
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    out = incremental_minhash_flags(
+        docs.filter(F.col("docid") % 4 == 0), read_minhash_store(spark, path)
+    )
+    got = {
+        r["docid"]: (r["store_match"], r["batch_match"], r["is_dup"])
+        for r in out.collect()
+    }
+    assert got == _brute_flags(spark, rows)
+
+
+def test_incremental_exact_matches_bruteforce(spark, corpus, tmp_path):
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "sha_store")
+    write_exact_store(docs.filter(F.col("docid") % 4 != 0), path)
+    out = incremental_exact_flags(
+        docs.filter(F.col("docid") % 4 == 0), read_exact_store(spark, path)
+    )
+    text = dict(corpus)
+    base = sorted(d for d, _ in corpus if d % 4 != 0)
+    batch = sorted(d for d, _ in corpus if d % 4 == 0)
+    got = {
+        r["docid"]: (r["store_canonical"], r["batch_dup_of"], r["is_dup"])
+        for r in out.collect()
+    }
+    assert sorted(got) == batch
+    for d in batch:
+        sc = [b for b in base if text[b] == text[d]]
+        bd = [b for b in batch if b < d and text[b] == text[d]]
+        assert got[d] == (
+            min(sc) if sc else None,
+            min(bd) if bd else None,
+            1 if (sc or bd) else 0,
+        ), d
+
+
+def test_plan_streams_store_without_shuffle(spark, corpus, tmp_path):
+    """The 100 TB contract: every join is a BroadcastHashJoin (store side
+    streamed), no SortMergeJoin / ShuffledHashJoin anywhere in the final
+    adaptive plan."""
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_store_plan")
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    out = incremental_minhash_flags(
+        docs.filter(F.col("docid") % 4 == 0), read_minhash_store(spark, path)
+    )
+    out.collect()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_two_batch_sequencing(spark, tmp_path):
+    """Append survivors' bands after batch 1; an identical doc arriving in
+    batch 2 must be flagged against the store, and batch-2 docs identical to
+    a batch-1 DUP (whose bands were not appended) must still be flagged via
+    the dup's canonical, which IS in the store."""
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven twelve"
+    base = [(1, t_a)]
+    batch1 = [(4, t_a), (8, t_b)]  # 4 dups store; 8 unique -> survivor
+    batch2 = [(12, t_b), (16, t_a)]  # both must flag against the store
+    path = str(tmp_path / "mh_store_seq")
+    write_minhash_store(_mk_docs(spark, base), path)
+
+    f1 = incremental_minhash_flags(
+        _mk_docs(spark, batch1), read_minhash_store(spark, path)
+    ).collect()
+    flags1 = {r["docid"]: r["is_dup"] for r in f1}
+    assert flags1 == {4: 1, 8: 0}
+    survivors = [r for r in batch1 if flags1[r[0]] == 0]
+    append_minhash_store(_mk_docs(spark, survivors), path)
+
+    f2 = incremental_minhash_flags(
+        _mk_docs(spark, batch2), read_minhash_store(spark, path)
+    ).collect()
+    got2 = {r["docid"]: (r["store_match"], r["is_dup"]) for r in f2}
+    assert got2 == {12: (8, 1), 16: (1, 1)}
+
+
+def test_store_layout_partitioned_by_band(spark, corpus, tmp_path):
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_layout")
+    write_minhash_store(docs, path)
+    import os
+
+    parts = sorted(p for p in os.listdir(path) if p.startswith("band="))
+    assert parts == ["band=%d" % b for b in range(8)]
+    # roundtrip preserves every (docid, band, band_key) row
+    back = read_minhash_store(spark, path)
+    orig = minhash_bands(docs)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
