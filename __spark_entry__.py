@@ -1312,6 +1312,23 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(load_documents(spark, sf_dir))
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet §4.4 perplexity bucketing: head/middle/tail at per-language
+    perplexity terciles over the lm_perplexity scores; short docs land in
+    'unscored'. Scores AND cut points rounded to 6dp before the comparison
+    (pq.py DIST_ROUND pattern) so buckets are engine-reproducible; the
+    quantile rows broadcast back — no extra corpus shuffle."""
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    out = perplexity_buckets(load_documents(spark, sf_dir), lang_col="lang")
+    return out.select(
+        "docid",
+        "lang",
+        F.coalesce("perplexity", F.lit(-1.0)).alias("perplexity"),
+        "bucket",
+    ).orderBy("docid")
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source curation report (ops/domains.py) — the RefinedWeb /
     Gopher host-level filtering stage: ONE groupBy(source) over row-local
@@ -1611,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "incremental_dedup": q_incremental_dedup,
         "incremental_exact": q_incremental_exact,
+        "perplexity_buckets": q_perplexity_buckets,
         "upsert_bm25": q_upsert_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -3000,7 +3018,7 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, y ASC) = 1""
 
     # Add-one bigram LM self-train + per-doc cross-entropy/perplexity:
     # ln P(cur|prev) = ln(C(prev,cur)+1) - ln(C(prev)+V), V = unigram vocab.
-    sqls["lm_perplexity"] = f"""WITH {_WS},
+    _LM_CTES = f"""{_WS},
 idx AS (
   SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
   FROM wtl WHERE len(toks) >= 2
@@ -3023,12 +3041,36 @@ lp AS (
 h AS (
   SELECT doc_id, count(*) AS m, -avg(lnp) AS cross_entropy
   FROM lp GROUP BY doc_id
-)
+)"""
+
+    sqls["lm_perplexity"] = f"""WITH {_LM_CTES}
 SELECT d.doc_id AS docid,
        coalesce(h.m, 0)::BIGINT AS n_bigrams,
        h.cross_entropy,
        exp(h.cross_entropy) AS perplexity
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+
+    # CCNet head/middle/tail: same LM CTEs; scores and tercile cuts rounded
+    # to 6dp BEFORE the comparison, mirroring the engine's round_dp guard.
+    sqls["perplexity_buckets"] = f"""WITH {_LM_CTES},
+pplr AS (
+  SELECT d.doc_id, d.lang, round(exp(h.cross_entropy), 6) AS ppl
+  FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+),
+qs AS (
+  SELECT lang,
+         round(quantile_cont(ppl, 1.0/3.0), 6) AS q1,
+         round(quantile_cont(ppl, 2.0/3.0), 6) AS q2
+  FROM pplr WHERE ppl IS NOT NULL GROUP BY lang
+)
+SELECT p.doc_id AS docid, p.lang,
+       coalesce(p.ppl, -1.0) AS perplexity,
+       CASE WHEN p.ppl IS NULL THEN 'unscored'
+            WHEN p.ppl <= qs.q1 THEN 'head'
+            WHEN p.ppl <= qs.q2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pplr p LEFT JOIN qs ON p.lang = qs.lang
+ORDER BY docid"""
 
     # Per-source curation: same quality formula as quality_scores, ONE
     # group by source; keep thresholds on the ROUNDED aggregates (the

@@ -53,6 +53,7 @@ from mini_search_engine_spark.ops.domains import (
 from mini_search_engine_spark.ops.lm import (
     lm_perplexity,
     lm_train_bigram,
+    perplexity_buckets,
 )
 from mini_search_engine_spark.ops.ivfadc import (
     ivf_train_centroids,
@@ -158,6 +159,7 @@ __all__ = [
     "lsh_cosine_topk",
     "lm_perplexity",
     "lm_train_bigram",
+    "perplexity_buckets",
     "adc_lut",
     "curate",
     "curation_funnel",

@@ -144,3 +144,89 @@ def lm_perplexity(
             F.exp(F.col("cross_entropy")).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "docid",
+    lang_col: str | None = None,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    min_count: int = 1,
+    broadcast_model: bool = True,
+    approx: bool = False,
+    round_dp: int = 6,
+    persist_scores: bool = True,
+) -> DataFrame:
+    """CCNet §4.4 perplexity bucketing: split the corpus into ``head`` /
+    ``middle`` / ``tail`` at per-language (or global) perplexity quantiles —
+    head = lowest perplexity = most LM-like text; tail is what CCNet drops
+    or downweights. Docs too short to score (<2 tokens) land in
+    ``unscored``.
+
+    → (id_col[, lang_col], perplexity, bucket).
+
+    Semantics guard: both the scores and the cut points are rounded to
+    ``round_dp`` decimals BEFORE the bucket comparison (same role as pq.py's
+    DIST_ROUND) so bucket assignment is bit-reproducible across engines —
+    the DuckDB oracle replicates the comparison on identically rounded
+    values.
+
+    Scale: the quantile aggregate reduces to one tiny row per language
+    which broadcasts back over the corpus — the corpus itself is never
+    re-shuffled beyond what scoring already did. ``approx=True`` swaps the
+    exact ``percentile`` (per-group value buffer — fine to ~10^8 docs per
+    language) for ``percentile_approx`` (bounded-memory sketch), the right
+    setting at 100 TB where a ±ε quantile moves the cut by a handful of
+    borderline docs.
+
+    ``persist_scores`` caches the (id, ppl) score table (MEMORY_AND_DISK,
+    ~16 bytes/doc): it has two consumers — the quantile aggregate and the
+    output join — which, like lm_train_bigram's model table, do NOT share
+    an exchange in the compiled plan, so without the cache the ENTIRE
+    scoring DAG (corpus scan + model joins) runs twice. Freed by Spark's
+    ContextCleaner with the frame."""
+    ppl = lm_perplexity(docs, content_col, id_col, min_count, broadcast_model)
+    scored = ppl.select(id_col, F.round("perplexity", round_dp).alias("_ppl"))
+    grp = [lang_col] if lang_col else []
+    if lang_col:
+        scored = scored.join(docs.select(id_col, lang_col), id_col)
+    if persist_scores:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _q(frac: float) -> Column:
+        if approx:
+            return F.percentile_approx(F.col("_ppl"), frac, 10000)
+        return F.percentile(F.col("_ppl"), frac)
+
+    qs = (
+        scored.filter(F.col("_ppl").isNotNull())
+        .groupBy(*grp)
+        .agg(
+            F.round(_q(cuts[0]), round_dp).alias("_q1"),
+            F.round(_q(cuts[1]), round_dp).alias("_q2"),
+        )
+    )
+    # left join (never inner/cross): an all-unscored corpus or language
+    # group has no quantile row, and those docs must still flow through as
+    # 'unscored' rather than vanish
+    if grp:
+        joined = scored.join(F.broadcast(qs), grp, "left")
+    else:
+        joined = scored.withColumn("_k", F.lit(1)).join(
+            F.broadcast(qs.withColumn("_k", F.lit(1))), ["_k"], "left"
+        ).drop("_k")
+    bucket = (
+        F.when(F.col("_ppl").isNull(), F.lit("unscored"))
+        .when(F.col("_ppl") <= F.col("_q1"), F.lit("head"))
+        .when(F.col("_ppl") <= F.col("_q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col,
+        *grp,
+        F.col("_ppl").alias("perplexity"),
+        bucket.alias("bucket"),
+    )

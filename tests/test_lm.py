@@ -130,3 +130,98 @@ def test_lm_deterministic_under_repartition(spark, docs_df):
             assert y[2] is None
         else:
             assert x[2] == pytest.approx(y[2], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+def _quantile_cont(vals, q):
+    """Linear-interpolation quantile (quantile_cont / F.percentile)."""
+    v = sorted(vals)
+    if not v:
+        return None
+    pos = q * (len(v) - 1)
+    lo = int(math.floor(pos))
+    hi = min(lo + 1, len(v) - 1)
+    return v[lo] + (pos - lo) * (v[hi] - v[lo])
+
+
+def _ref_buckets(docs, cuts=(1.0 / 3.0, 2.0 / 3.0)):
+    ref = _ref(docs)
+    ppl = {d: (None if r[2] is None else round(r[2], 6)) for d, r in ref.items()}
+    scored = [p for p in ppl.values() if p is not None]
+    q1 = round(_quantile_cont(scored, cuts[0]), 6)
+    q2 = round(_quantile_cont(scored, cuts[1]), 6)
+    out = {}
+    for d, p in ppl.items():
+        if p is None:
+            out[d] = (p, "unscored")
+        elif p <= q1:
+            out[d] = (p, "head")
+        elif p <= q2:
+            out[d] = (p, "middle")
+        else:
+            out[d] = (p, "tail")
+    return out
+
+
+def test_buckets_match_python_reference(spark, docs_df):
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    got = {
+        r["docid"]: (r["perplexity"], r["bucket"])
+        for r in perplexity_buckets(docs_df).collect()
+    }
+    ref = _ref_buckets(DOCS)
+    assert set(got) == set(ref)
+    for d in ref:
+        rp, rb = ref[d]
+        gp, gb = got[d]
+        assert gb == rb, (d, got[d], ref[d])
+        if rp is None:
+            assert gp is None
+        else:
+            assert gp == pytest.approx(rp, abs=1e-6)
+
+
+def test_buckets_per_lang_grouping(spark):
+    """Terciles computed within each language independently — the same
+    perplexity can be 'head' in one language and 'tail' in another."""
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    rows = [(i, t, "en") for i, (_, t) in enumerate(DOCS)] + [
+        (100 + i, t, "xx") for i, (_, t) in enumerate(DOCS)
+    ]
+    df = spark.createDataFrame(rows, "docid long, content string, lang string")
+    out = perplexity_buckets(df, lang_col="lang").collect()
+    en = {r["docid"]: r["bucket"] for r in out if r["lang"] == "en"}
+    xx = {r["docid"] - 100: r["bucket"] for r in out if r["lang"] == "xx"}
+    # same texts + shared corpus-wide model => identical per-lang bucketing
+    assert en == xx
+    assert set(en.values()) >= {"head", "tail", "unscored"}
+
+
+def test_buckets_all_unscored_flow_through(spark):
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    df = spark.createDataFrame([(0, "solo"), (1, "")], SCHEMA)
+    got = {r["docid"]: r["bucket"] for r in perplexity_buckets(df).collect()}
+    assert got == {0: "unscored", 1: "unscored"}
+
+
+def test_buckets_score_once_quantiles_broadcast(spark, docs_df):
+    """The score table is computed ONCE (cached, read back via
+    InMemoryTableScan for both the quantile agg and the output join) and
+    the quantile rows come back via a broadcast — the bucket stage adds no
+    corpus-sized shuffle beyond lm_perplexity's own."""
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    out = perplexity_buckets(docs_df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only joins DOWNSTREAM of the cached scores are broadcast ones
+    post = plan.split("InMemoryTableScan", 1)[0]
+    assert "SortMergeJoin" not in post, post
