@@ -1312,6 +1312,36 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(load_documents(spark, sf_dir))
 
 
+def q_ltr_features(spark, sf_dir):
+    """LTR feature export (search/ltr.py): per (query, candidate) rows with
+    bm25 + reference tfidf dot + matched_terms/sum_tf/dl + pagerank, one
+    postings scan for the whole batch (bm25_topk_batch design), per-query
+    BM25 top-20 cut before the (small) pagerank join."""
+    from mini_search_engine_spark.search import ltr_features
+
+    idx = _index(spark, sf_dir)
+    edges, nodes = _edges(spark, sf_dir)
+    pr = pagerank(edges, num_iter=5, nodes=nodes).select(
+        "docid", F.round("pagerank", 6).alias("pagerank")
+    )
+    out = ltr_features(
+        idx,
+        {k: v for k, v in BM25_BATCH.items() if k != "qd"},
+        pagerank_df=pr,
+        topk=20,
+    )
+    return out.select(
+        "qid",
+        "docid",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("tfidf_dot", 6).alias("tfidf_dot"),
+        "matched_terms",
+        "sum_tf",
+        "dl",
+        "pagerank",
+    ).orderBy("qid", "docid")
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet §4.4 perplexity bucketing: head/middle/tail at per-language
     perplexity terciles over the lm_perplexity scores; short docs land in
@@ -1629,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_exact": q_incremental_exact,
         "perplexity_buckets": q_perplexity_buckets,
+        "ltr_features": q_ltr_features,
         "upsert_bm25": q_upsert_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -2701,6 +2732,47 @@ FROM documents GROUP BY sha256(text)"""
     )
 
     sqls["minhash_pairs"] = "WITH " + _PAIRS + "\nSELECT docid_a, docid_b FROM pairs"
+
+    # LTR feature export: BM25 + reference tfidf dot + counts/lengths per
+    # (query, candidate), top-20 by rounded bm25, joined to the synthetic
+    # id-graph pagerank (same unrolled CTEs as the pagerank entry).
+    _ltr_vals = ", ".join(
+        f"('{qid}', '{t}', 1.0)"
+        for qid, terms in sorted(BM25_BATCH.items())
+        if qid != "qd"
+        for t in terms
+    )
+    _pr_parts = _pagerank_sql(5)[len("WITH "):]
+    sqls["ltr_features"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dlx AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dlx)::DOUBLE AS avgdl),
+q(qid, term, qtf) AS (VALUES {_ltr_vals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         q.qtf * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlx.dl / gl.avgdl)) AS bm25c,
+         tf.tf * (gl.n / dfreq.df) * (q.qtf * (gl.n / dfreq.df)) AS tfidfc,
+         tf.tf AS tfv, dlx.dl AS dlv
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dlx USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT qid, doc_id,
+             sum(bm25c) AS bm25, sum(tfidfc) AS tfidf_dot,
+             count(*)::BIGINT AS matched_terms, sum(tfv)::BIGINT AS sum_tf,
+             max(dlv)::BIGINT AS dl
+      FROM contrib GROUP BY qid, doc_id),
+top AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(bm25, 6) DESC, doc_id) AS rnk
+        FROM s),{_pr_parts}
+SELECT top.qid, top.doc_id AS docid,
+       round(top.bm25, 6) AS bm25, round(top.tfidf_dot, 6) AS tfidf_dot,
+       top.matched_terms, top.sum_tf, top.dl,
+       round(r5.pr, 6) AS pagerank
+FROM top JOIN r5 ON r5.id = top.doc_id
+WHERE top.rnk <= 20 ORDER BY top.qid, top.doc_id"""
 
     # incremental dedup: bands CTE computed over ALL docs (same formulas as
     # minhash_pairs), then split into the persisted-corpus half (doc_id%4<>0)

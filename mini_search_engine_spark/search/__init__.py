@@ -55,6 +55,7 @@ from mini_search_engine_spark.search.pagerank import (
 from mini_search_engine_spark.search.related import related_docs
 from mini_search_engine_spark.search.feedback import bm25_prf, expansion_terms
 from mini_search_engine_spark.search.ranking import bm25_topk_weighted
+from mini_search_engine_spark.search.ltr import ltr_features
 from mini_search_engine_spark.search.percolate import Percolator, percolate
 from mini_search_engine_spark.search.serving import Bm25MicroBatcher
 from mini_search_engine_spark.search.evalmetrics import macro_metrics, relevance_metrics
@@ -76,6 +77,7 @@ __all__ = [
     "search_tfidf",
     "bm25_topk",
     "bm25_topk_batch",
+    "ltr_features",
     "bm25_page",
     "parse_query",
     "search_query",
