@@ -366,6 +366,28 @@ def main():
         ).collect(),
     )
 
+    # incremental dedup: store BUILD is one-time setup (timed separately);
+    # the nightly job is the batch-vs-store flags pass
+    from mini_search_engine_spark.ops import (
+        incremental_minhash_flags,
+        read_minhash_store,
+        write_minhash_store,
+    )
+
+    _store = os.path.join(tempfile.gettempdir(), f"bench_incr_store_{os.getpid()}")
+    t0 = time.time()
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), _store)
+    ext["incr_store_build"] = [round(time.time() - t0, 3)]
+    timed_ext(
+        "incremental_dedup",
+        lambda: incremental_minhash_flags(
+            docs.filter(F.col("docid") % 4 == 0), read_minhash_store(spark, _store)
+        )
+        .agg(F.sum("is_dup"))
+        .collect(),
+    )
+    shutil.rmtree(_store, ignore_errors=True)
+
     total = sum(timings.values())
     out = {
         "metric": "headline_suite_sec",
