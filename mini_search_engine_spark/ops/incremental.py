@@ -8,9 +8,11 @@ re-deriving its signatures. Two persisted stores make that possible:
 * exact store   — parquet of (sha, canonical_docid), one row per distinct
   content already in the corpus (``exact_dedup`` output).
 * minhash store — parquet of (docid, band, band_key) LSH band keys,
-  Hive-partitioned by ``band`` and band_key-sorted within each written
-  file so Parquet row-group min/max stats can skip non-colliding key
-  ranges on selective probes.
+  Hive-partitioned by ``(batch, band)`` and band_key-sorted within each
+  written file so Parquet row-group min/max stats can skip non-colliding
+  key ranges on selective probes. The per-batch partition makes appends
+  idempotent (dynamic partition overwrite) — the contract
+  ``streaming.incremental_dedup_stream`` relies on for crash-replay.
 
 Scale shape — the batch is small relative to the store (one day's crawl vs
 years of corpus), so every batch↔store comparison BROADCASTS the batch side
@@ -75,28 +77,42 @@ def write_minhash_store(
     band_size: int = 2,
     shingle_k: int = 3,
     content_col: str = "content",
+    batch_id: int = 0,
 ) -> None:
     """Materialize the LSH band store for an already-deduped corpus.
 
-    Layout: Hive-partitioned by ``band`` (n_bands dirs), band_key-sorted
-    within each file. One pass over the corpus, no shuffle beyond the
-    signature aggregation that minhash itself requires."""
+    Layout: Hive-partitioned by ``(batch, band)`` — the initial corpus is
+    ``batch=<batch_id>`` (default 0), each later append its own batch
+    partition — band_key-sorted within each file so row-group stats prune
+    selective probes. One pass over the corpus, no shuffle beyond the
+    signature aggregation minhash itself requires."""
     _bands_sorted(docs, num_hashes, band_size, shingle_k, content_col) \
-        .write.mode("overwrite").partitionBy("band").parquet(path)
+        .withColumn("batch", F.lit(int(batch_id))) \
+        .write.mode("overwrite").partitionBy("batch", "band").parquet(path)
 
 
 def append_minhash_store(
     docs: DataFrame,
     path: str,
+    batch_id: int,
     num_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
     content_col: str = "content",
 ) -> None:
-    """Append a (deduped) batch's band keys — new files only, existing
-    store files untouched."""
-    _bands_sorted(docs, num_hashes, band_size, shingle_k, content_col) \
-        .write.mode("append").partitionBy("band").parquet(path)
+    """Append a (deduped) batch's band keys under its own ``batch=<id>``
+    partition. Uses DYNAMIC partition overwrite, so re-running the same
+    batch_id (a crash-replayed micro-batch) REWRITES that batch's
+    partitions instead of appending duplicate rows — the append is
+    idempotent per batch_id. Existing batches' files are untouched."""
+    (
+        _bands_sorted(docs, num_hashes, band_size, shingle_k, content_col)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "band")
+        .parquet(path)
+    )
 
 
 def read_minhash_store(spark: SparkSession, path: str) -> DataFrame:
@@ -125,9 +141,14 @@ def incremental_minhash_flags(
 
     # store probe: stream the store once against a broadcast of the batch
     # keys; only collision rows (tiny) survive to the aggregation shuffle.
+    # The docid != new_docid guard is the replay-safety valve: after a
+    # crash between a streaming batch's store append and its checkpoint
+    # commit, the replayed batch probes a store that already contains its
+    # own survivors — without the guard every survivor would match itself.
     probe = bands.select(F.col("docid").alias("new_docid"), "band", "band_key")
     store_match = (
         store_bands.join(F.broadcast(probe), ["band", "band_key"])
+        .filter(F.col("docid") != F.col("new_docid"))
         .groupBy("new_docid")
         .agg(F.min("docid").alias("store_match"))
         .withColumnRenamed("new_docid", "docid")

@@ -15,6 +15,7 @@ from mini_search_engine_spark.streaming.ingest import (
     maybe_compact,
     num_segments,
     read_segmented_index,
+    incremental_dedup_stream,
     streaming_exact_dedup,
     session_event_counts,
     upsert_docs,
@@ -48,6 +49,7 @@ __all__ = [
     "num_segments",
     "read_segmented_index",
     "read_snapshot",
+    "incremental_dedup_stream",
     "streaming_exact_dedup",
     "session_event_counts",
     "upsert_docs",

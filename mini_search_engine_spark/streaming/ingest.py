@@ -577,6 +577,78 @@ def session_event_counts(
     )
 
 
+def incremental_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    store_path: str,
+    flags_path: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_k: int = 3,
+):
+    """Continuous incremental near-dedup: every arriving micro-batch is
+    flagged against the persisted LSH band store (``ops.incremental``) PLUS
+    within itself, the per-doc verdicts land in ``flags_path``, and the
+    surviving (non-dup) docs' band keys are appended to the store so later
+    batches dedup against them.
+
+    Crash-replay safety, step by step:
+
+    1. flags write → deterministic ``batch_id=<id>`` dir with overwrite
+       (the percolate_stream pattern): replays rewrite, never duplicate.
+    2. survivors are derived FROM THE COMMITTED FLAGS FILE, not from the
+       lazy flags plan — so the store-append job's lineage contains the
+       batch files + the flags parquet only, never the store itself
+       (Spark refuses plans that read and overwrite the same path).
+    3. store append → ``batch=<stream batch_id + 1>`` partition via dynamic
+       partition overwrite (base corpus owns ``batch=0``): a replayed
+       append rewrites its own partition in place.
+    4. a replayed batch probes a store that may already hold its own
+       survivors; the flags operator's self-match guard keeps their
+       verdicts stable. The is_dup verdict and survivor set are
+       replay-invariant; only the match ATTRIBUTION can shift (a
+       within-batch dup's canonical may surface as store_match instead of
+       batch_match on replay, since its canonical is by then a store row).
+
+    Returns the StreamingQuery; call ``.awaitTermination()``."""
+    from mini_search_engine_spark.ops.incremental import (
+        append_minhash_store,
+        incremental_minhash_flags,
+        read_minhash_store,
+    )
+
+    kw = dict(num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = load_corpus(batch_df)
+        flags = incremental_minhash_flags(
+            docs, read_minhash_store(spark, store_path), **kw
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_path}/batch_id={batch_id}")
+        committed = spark.read.parquet(f"{flags_path}/batch_id={batch_id}")
+        survivors = docs.join(
+            committed.filter(F.col("is_dup") == 0).select("docid"), "docid"
+        )
+        append_minhash_store(survivors, store_path, batch_id=batch_id + 1, **kw)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_path)
+    )
+    writer = reader.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", f"{flags_path}/_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def percolate_stream(
     spark: SparkSession,
     input_path: str,

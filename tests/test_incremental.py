@@ -159,7 +159,7 @@ def test_two_batch_sequencing(spark, tmp_path):
     flags1 = {r["docid"]: r["is_dup"] for r in f1}
     assert flags1 == {4: 1, 8: 0}
     survivors = [r for r in batch1 if flags1[r[0]] == 0]
-    append_minhash_store(_mk_docs(spark, survivors), path)
+    append_minhash_store(_mk_docs(spark, survivors), path, batch_id=1)
 
     f2 = incremental_minhash_flags(
         _mk_docs(spark, batch2), read_minhash_store(spark, path)
@@ -168,15 +168,65 @@ def test_two_batch_sequencing(spark, tmp_path):
     assert got2 == {12: (8, 1), 16: (1, 1)}
 
 
-def test_store_layout_partitioned_by_band(spark, corpus, tmp_path):
+def test_store_layout_partitioned_by_batch_and_band(spark, corpus, tmp_path):
     docs = _mk_docs(spark, corpus)
     path = str(tmp_path / "mh_layout")
     write_minhash_store(docs, path)
     import os
 
-    parts = sorted(p for p in os.listdir(path) if p.startswith("band="))
+    assert sorted(p for p in os.listdir(path) if p.startswith("batch=")) == ["batch=0"]
+    parts = sorted(
+        p for p in os.listdir(os.path.join(path, "batch=0")) if p.startswith("band=")
+    )
     assert parts == ["band=%d" % b for b in range(8)]
     # roundtrip preserves every (docid, band, band_key) row
     back = read_minhash_store(spark, path)
     orig = minhash_bands(docs)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_append_idempotent_under_replay(spark, corpus, tmp_path):
+    """Re-running an append with the same batch_id (crash-replayed
+    micro-batch) rewrites its batch partition instead of duplicating."""
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_replay")
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    n0 = read_minhash_store(spark, path).count()
+    append_minhash_store(batch, path, batch_id=7)
+    n1 = read_minhash_store(spark, path).count()
+    append_minhash_store(batch, path, batch_id=7)
+    n2 = read_minhash_store(spark, path).count()
+    assert n1 == n2 > n0
+
+
+def test_self_exclusion_keeps_verdicts_stable(spark, corpus, tmp_path):
+    """After appending the batch's own survivors (the dirty-replay store
+    state), is_dup verdicts are unchanged and survivors still match
+    nothing (self-matches excluded); only a within-batch dup's attribution
+    may shift from batch_match to store_match."""
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_selfex")
+    write_minhash_store(docs.filter(F.col("docid") % 4 != 0), path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    before = {
+        r["docid"]: r
+        for r in incremental_minhash_flags(
+            batch, read_minhash_store(spark, path)
+        ).collect()
+    }
+    keep = [d for d, r in before.items() if r["is_dup"] == 0]
+    append_minhash_store(
+        batch.filter(F.col("docid").isin(keep)), path, batch_id=1
+    )
+    after = {
+        r["docid"]: r
+        for r in incremental_minhash_flags(
+            batch, read_minhash_store(spark, path)
+        ).collect()
+    }
+    assert {d: r["is_dup"] for d, r in after.items()} == {
+        d: r["is_dup"] for d, r in before.items()
+    }
+    for d in keep:
+        assert tuple(after[d]) == tuple(before[d])

@@ -482,3 +482,61 @@ def test_commit_snapshot_conflicting_removals_raise(spark, tmp_path):
     # compaction 2, planned from s0, tries to fold the same inputs
     with pytest.raises(CommitConflictError):
         commit_snapshot(spark, p, segments=["c2"], folded=["a", "b"], base=s0)
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Continuous incremental near-dedup: per-batch flags land under
+    batch_id dirs, survivors' bands append to the store so LATER batches
+    dedup against them, and checkpoint resume skips processed batches."""
+    from mini_search_engine_spark.ops import write_minhash_store
+    from mini_search_engine_spark.streaming import incremental_dedup_stream
+
+    def rows(lo, hi):
+        # content keyed by i % 8 with FULLY residue-distinct token streams
+        # (no shared shingles — near-identical texts would legitimately LSH-
+        # collide across residues); base covers residues 0-5, so residues
+        # 6/7 first appear in the stream (their first carriers must survive)
+        return [
+            (i, " ".join(f"tok{k}r{i % 8}" for k in range(10)), "en", "t", 0)
+            for i in range(lo, hi)
+        ]
+
+    inp = str(tmp_path / "dd_in")
+    store = str(tmp_path / "dd_store")
+    flags = str(tmp_path / "dd_flags")
+    write_minhash_store(
+        load_corpus(spark.createDataFrame(rows(0, 6), SCHEMA)), store
+    )
+    # two files -> two micro-batches at maxFilesPerTrigger=1
+    spark.createDataFrame(rows(6, 13), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows(13, 20), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_dedup_stream(
+        spark, inp, SCHEMA, store, flags, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["docid"]: r["is_dup"]
+        for r in spark.read.parquet(flags).collect()
+    }
+    # every streamed doc verdicted exactly once; survivors = first carriers
+    # of residues 6 (docid 6) and 7 (docid 7); everything else duplicates
+    # the base corpus or an earlier survivor
+    assert got == {i: (0 if i in (6, 7) else 1) for i in range(6, 20)}
+    # docids 14/15 (residues 6/7, SECOND batch) prove the cross-batch store
+    # append: they can only be dups via batch-1 survivors 6/7
+    flagged = {
+        r["docid"]: r["store_match"]
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert flagged[14] == 6 and flagged[15] == 7
+
+    # checkpoint resume: a third file, rerun — old batches not reprocessed
+    spark.createDataFrame(rows(20, 24), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q2 = incremental_dedup_stream(
+        spark, inp, SCHEMA, store, flags, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    all_flags = spark.read.parquet(flags)
+    assert all_flags.count() == 18  # 14 + 4, no replays
+    assert all_flags.filter("docid >= 20 AND is_dup = 0").count() == 0
