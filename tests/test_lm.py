@@ -225,3 +225,32 @@ def test_buckets_score_once_quantiles_broadcast(spark, docs_df):
     # the only joins DOWNSTREAM of the cached scores are broadcast ones
     post = plan.split("InMemoryTableScan", 1)[0]
     assert "SortMergeJoin" not in post, post
+
+
+def test_buckets_approx_path_properties(spark, docs_df):
+    """approx=True swaps interpolated quantile_cont for percentile_approx,
+    which returns an ACTUAL data value — borderline docs may shift bucket
+    (the documented ±ε trade). The guarantees that must hold regardless:
+    buckets partition the scored docs monotonically by perplexity,
+    unscored assignment is identical, and per-bucket sizes differ from the
+    exact terciles by at most one (the borderline doc)."""
+    from mini_search_engine_spark.ops import perplexity_buckets
+
+    exact = perplexity_buckets(docs_df, approx=False).collect()
+    approx = perplexity_buckets(docs_df, approx=True).collect()
+    assert {r["docid"] for r in approx} == {r["docid"] for r in exact}
+    assert {r["docid"]: r["bucket"] == "unscored" for r in approx} == {
+        r["docid"]: r["bucket"] == "unscored" for r in exact
+    }
+    by_bucket = {}
+    for r in approx:
+        if r["bucket"] != "unscored":
+            by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    for lo, hi in (("head", "middle"), ("middle", "tail"), ("head", "tail")):
+        if lo in by_bucket and hi in by_bucket:
+            assert max(by_bucket[lo]) <= min(by_bucket[hi])
+    exact_sizes = {}
+    for r in exact:
+        exact_sizes[r["bucket"]] = exact_sizes.get(r["bucket"], 0) + 1
+    for b in ("head", "middle", "tail"):
+        assert abs(len(by_bucket.get(b, [])) - exact_sizes.get(b, 0)) <= 1
