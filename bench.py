@@ -366,6 +366,21 @@ def main():
         ).collect(),
     )
 
+    # LTR feature export: 3 queries' features in one scan (agg over a
+    # computed column so the feature pipeline cannot be pruned)
+    from mini_search_engine_spark.search import ltr_features
+
+    timed_ext(
+        "ltr_features_3q",
+        lambda: ltr_features(
+            idx,
+            {"qa": ["spark", "merge"], "qb": ["filter", "join"], "qc": ["fast", "key"]},
+            topk=100,
+        )
+        .agg(F.sum("bm25"), F.sum("tfidf_dot"))
+        .collect(),
+    )
+
     # incremental dedup: store BUILD is one-time setup (timed separately);
     # the nightly job is the batch-vs-store flags pass
     from mini_search_engine_spark.ops import (
