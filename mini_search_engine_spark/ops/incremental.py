@@ -126,18 +126,26 @@ def incremental_minhash_flags(
     band_size: int = 2,
     shingle_k: int = 3,
     content_col: str = "content",
+    persist_bands: bool = True,
 ) -> DataFrame:
     """→ (docid, store_match, batch_match, is_dup) for every new doc.
 
     Plan shape (asserted in tests/test_incremental.py): zero SortMergeJoins;
     the store parquet scan feeds the streamed side of a BroadcastHashJoin
-    whose build side is the batch's band keys. The batch band pipeline is
-    referenced by three consumers and recomputed per consumer — at scale
-    that triple signature pass over ONE DAY's batch is still orders of
-    magnitude below a single store shuffle, which this plan avoids; callers
-    holding the batch in memory can pass a cached ``new_docs``.
-    """
+    whose build side is the batch's band keys.
+
+    ``persist_bands`` caches the batch's band table (MEMORY_AND_DISK,
+    n_bands rows/doc of (docid, band, band_key)): it has THREE consumers —
+    the store probe's broadcast side, the bucket-min aggregate, and the
+    bucket-min join's probe side — which share no exchange, so without the
+    cache the whole shingle→minhash signature pipeline (the dominant CPU
+    cost) runs three times. Freed by Spark's ContextCleaner with the
+    frame."""
     bands = minhash_bands(new_docs, num_hashes, band_size, shingle_k, content_col)
+    if persist_bands:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
 
     # store probe: stream the store once against a broadcast of the batch
     # keys; only collision rows (tiny) survive to the aggregation shuffle.
