@@ -230,3 +230,56 @@ def test_self_exclusion_keeps_verdicts_stable(spark, corpus, tmp_path):
     }
     for d in keep:
         assert tuple(after[d]) == tuple(before[d])
+
+
+# ---------------------------------------------------------------------------
+# randomized property: any corpus, any split
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+doc_strategy = st.lists(st.sampled_from(WORDS), min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(doc_strategy, min_size=2, max_size=12),
+    mod=st.sampled_from([2, 3, 4]),
+)
+def test_incremental_flags_property(spark_holder, tmp_path_factory, docs, mod):
+    """For ANY corpus (incl. empty/one-word docs — the degenerate-shingle
+    path) and ANY residue split, flags equal the brute-force reference."""
+    spark = spark_holder
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = _mk_docs(spark, rows)
+    path = str(tmp_path_factory.mktemp("mh_prop") / "store")
+    write_minhash_store(df.filter(F.col("docid") % mod != 0), path)
+    out = incremental_minhash_flags(
+        df.filter(F.col("docid") % mod == 0), read_minhash_store(spark, path)
+    )
+    got = {
+        r["docid"]: (r["store_match"], r["batch_match"], r["is_dup"])
+        for r in out.collect()
+    }
+    # brute force with the same split
+    bands = {i: set() for i, _ in rows}
+    for r in minhash_bands(df).collect():
+        bands[r["docid"]].add((r["band"], r["band_key"]))
+    base = sorted(d for d in bands if d % mod != 0)
+    batch = sorted(d for d in bands if d % mod == 0)
+    expect = {}
+    for d in batch:
+        sm = [b for b in base if bands[b] & bands[d]]
+        bm = [b for b in batch if b < d and bands[b] & bands[d]]
+        expect[d] = (
+            min(sm) if sm else None,
+            min(bm) if bm else None,
+            1 if (sm or bm) else 0,
+        )
+    assert got == expect
+
+
+@pytest.fixture(scope="module")
+def spark_holder(spark):
+    return spark
