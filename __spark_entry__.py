@@ -1342,6 +1342,41 @@ def q_ltr_features(spark, sf_dir):
     ).orderBy("qid", "docid")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (ops/dsir.py, Xie 2302.03169): docs with
+    docid % 7 == 0 play the high-quality target set, the rest the raw
+    crawl; hashed-bigram bucket models (K=2048, Laplace) on both sides,
+    per-doc log importance = Σ ln(P_t/P_r) over its features. Bucket
+    tables collapse to ≤K rows (bounded driver fold), the log-ratio table
+    broadcasts back."""
+    from mini_search_engine_spark.ops import dsir_log_weights
+
+    docs = load_documents(spark, sf_dir)
+    out = dsir_log_weights(
+        docs.filter(F.col("docid") % 7 != 0),
+        docs.filter(F.col("docid") % 7 == 0),
+        buckets=2048,
+    )
+    return out.select(
+        "docid", "n_features", F.round("log_weight", 6).alias("log_weight")
+    ).orderBy("docid")
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel-top-k importance resampling over the dsir_weights split:
+    deterministic salted-hash Gumbel noise, scores rounded to 6dp before
+    the rank cut so the selected set is engine-exact."""
+    from mini_search_engine_spark.ops import dsir_select
+
+    docs = load_documents(spark, sf_dir)
+    return dsir_select(
+        docs.filter(F.col("docid") % 7 != 0),
+        docs.filter(F.col("docid") % 7 == 0),
+        k=150,
+        buckets=2048,
+    ).orderBy(F.desc("score"), F.asc("docid"))
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet §4.4 perplexity bucketing: head/middle/tail at per-language
     perplexity terciles over the lm_perplexity scores; short docs land in
@@ -1660,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_exact": q_incremental_exact,
         "perplexity_buckets": q_perplexity_buckets,
         "ltr_features": q_ltr_features,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "upsert_bm25": q_upsert_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
@@ -3121,6 +3158,53 @@ SELECT d.doc_id AS docid,
        h.cross_entropy,
        exp(h.cross_entropy) AS perplexity
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+
+    # DSIR: hashed-bigram bucket models over the %7 target/raw split,
+    # Laplace-smoothed log ratio per bucket, per-doc feature sum; the
+    # select entry adds deterministic Gumbel noise from the salted 60-bit
+    # doc hash and cuts top-k on the 6dp-rounded score.
+    _DSIR_CTES = f"""{_WS},
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM wtl WHERE len(toks) >= 2
+),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM idx),
+fb AS (SELECT doc_id, {_hash60('g')} % 2048 AS b FROM bg),
+rawb AS (SELECT doc_id, b FROM fb WHERE doc_id % 7 <> 0),
+tgtb AS (SELECT b FROM fb WHERE doc_id % 7 = 0),
+cr AS (SELECT b, count(*)::DOUBLE AS c FROM rawb GROUP BY b),
+ct AS (SELECT b, count(*)::DOUBLE AS c FROM tgtb GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM cr) AS tr,
+               (SELECT coalesce(sum(c), 0) FROM ct) AS tt),
+lr AS (
+  SELECT coalesce(cr.b, ct.b) AS b,
+         ln((coalesce(ct.c, 0) + 1.0) / (tot.tt + 2048))
+       - ln((coalesce(cr.c, 0) + 1.0) / (tot.tr + 2048)) AS lr
+  FROM cr FULL OUTER JOIN ct ON cr.b = ct.b CROSS JOIN tot
+),
+wsum AS (
+  SELECT r.doc_id, count(*)::BIGINT AS n_features, sum(lr.lr) AS log_weight
+  FROM rawb r JOIN lr ON lr.b = r.b GROUP BY r.doc_id
+),
+wful AS (
+  SELECT d.doc_id,
+         coalesce(w.n_features, 0)::BIGINT AS n_features,
+         coalesce(w.log_weight, 0.0) AS log_weight
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+  LEFT JOIN wsum w ON w.doc_id = d.doc_id
+)"""
+
+    sqls["dsir_weights"] = f"""WITH {_DSIR_CTES}
+SELECT doc_id AS docid, n_features, round(log_weight, 6) AS log_weight
+FROM wful ORDER BY docid"""
+
+    sqls["dsir_select"] = f"""WITH {_DSIR_CTES}
+SELECT doc_id AS docid,
+       round(log_weight / 1.0
+             + -ln(-ln(({_hash60("'dsir|' || doc_id")} + 1.0) / (power(2, 60) + 1.0))),
+             6) AS score
+FROM wful
+ORDER BY score DESC, docid LIMIT 150"""
 
     # CCNet head/middle/tail: same LM CTEs; scores and tercile cuts rounded
     # to 6dp BEFORE the comparison, mirroring the engine's round_dp guard.

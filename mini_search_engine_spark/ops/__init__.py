@@ -50,6 +50,10 @@ from mini_search_engine_spark.ops.domains import (
     source_filter,
     source_stats,
 )
+from mini_search_engine_spark.ops.dsir import (
+    dsir_log_weights,
+    dsir_select,
+)
 from mini_search_engine_spark.ops.lm import (
     lm_perplexity,
     lm_train_bigram,
@@ -157,6 +161,8 @@ __all__ = [
     "write_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "dsir_log_weights",
+    "dsir_select",
     "lm_perplexity",
     "lm_train_bigram",
     "perplexity_buckets",
