@@ -366,6 +366,21 @@ def main():
         ).collect(),
     )
 
+    # DSIR importance weights over the %7 target/raw split (agg over the
+    # computed columns so the weight pipeline cannot be pruned)
+    from mini_search_engine_spark.ops import dsir_log_weights
+
+    timed_ext(
+        "dsir_weights",
+        lambda: dsir_log_weights(
+            docs.filter(F.col("docid") % 7 != 0),
+            docs.filter(F.col("docid") % 7 == 0),
+            buckets=2048,
+        )
+        .agg(F.sum("n_features"), F.sum("log_weight"))
+        .collect(),
+    )
+
     # LTR feature export: 3 queries' features in one scan (agg over a
     # computed column so the feature pipeline cannot be pruned)
     from mini_search_engine_spark.search import ltr_features
