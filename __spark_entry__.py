@@ -876,6 +876,45 @@ def q_upsert_bm25(spark, sf_dir):
     return _round_score(bm25_topk(idx, ["spark", "merge"], topk=50), k=10)
 
 
+def q_time_travel_bm25(spark, sf_dir):
+    """Snapshot-isolation proof (Iceberg ``VERSION AS OF``): commit the
+    base index (snapshot 0), run the SAME upsert as ``upsert_bm25``
+    (snapshot 1: appended revised docs + equality-delete tombstones),
+    then read the index PINNED AT SNAPSHOT 0 and score BM25. The oracle
+    is the plain from-scratch BM25 over the UNMODIFIED corpus — so the
+    time-travel view must be bit-exact to the pre-upsert state (segment
+    list AND tombstone set), with zero leakage from the later commit."""
+    import os
+
+    from mini_search_engine_spark.streaming import (
+        read_segmented_index,
+        upsert_docs,
+        write_segment,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    path = "/tmp/mse_timetravel_idx_{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)),
+        spark.sparkContext.applicationId,
+    )
+    write_segment(
+        build_index(docs, analyzer=ANALYZER, block_span=BLOCK_SPAN), path, "base"
+    )
+    old = docs.filter(F.col("docid") % 11 == 4)
+    revised = old.select(
+        (F.col("docid") + 100000000).alias("docid"),
+        F.concat(F.col("content"), F.lit(" upsert probe merge")).alias("content"),
+    )
+    upsert_docs(
+        spark, path, revised, old.select("docid"),
+        analyzer=ANALYZER, block_span=BLOCK_SPAN, seg_id="u1",
+    )
+    idx = read_segmented_index(
+        spark, path, analyzer=ANALYZER, block_span=BLOCK_SPAN, snapshot_id=0
+    )
+    return _round_score(bm25_topk(idx, ["spark", "merge"], topk=50), k=10)
+
+
 def q_bm25_pruned(spark, sf_dir):
     raw = bm25_topk(
         _index(spark, sf_dir), ["filter", "join", "scan"], topk=50, prune=True
@@ -1698,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "upsert_bm25": q_upsert_bm25,
+        "time_travel_bm25": q_time_travel_bm25,
         "nb_classify": q_nb_classify,
         "lm_perplexity": q_lm_perplexity,
         "source_stats": q_source_stats,
@@ -2723,6 +2763,10 @@ SELECT docid FROM (
     sqls["upsert_bm25"] = _bm25_sql(["spark", "merge"]).replace(
         "FROM documents", "FROM docs_mod"
     ).replace("WITH ", "WITH " + _upsert_mod + ",\n", 1)
+
+    # time travel: after the upsert commit, the snapshot-0 view must equal a
+    # from-scratch build on the UNMODIFIED corpus — the plain BM25 oracle.
+    sqls["time_travel_bm25"] = _bm25_sql(["spark", "merge"])
 
     sqls["term_df"] = f"""WITH {_TOK}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term"""
