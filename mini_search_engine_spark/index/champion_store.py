@@ -30,6 +30,7 @@ highest committed id. A crash mid-write leaves an invisible dir.
 from __future__ import annotations
 
 import json
+import uuid
 from dataclasses import replace
 
 from pyspark.sql import SparkSession
@@ -76,10 +77,22 @@ def _read_meta(spark: SparkSession, tier_dir: str) -> dict:
 
 
 def _write_meta(spark: SparkSession, tier_dir: str, meta: dict) -> None:
+    # stage-then-rename: the meta file is the tier's COMMIT marker
+    # (_list_tiers checks its existence), so it must appear atomically —
+    # a direct create() could crash mid-write and leave a torn-but-
+    # visible marker that breaks every later _read_meta.
     fs, p = _hadoop_fs(spark, _meta_path(tier_dir))
-    out = fs.create(p, True)
-    out.write(bytearray(json.dumps(meta).encode()))
-    out.close()
+    _, tmp = _hadoop_fs(
+        spark, _meta_path(tier_dir) + f".{uuid.uuid4().hex}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise IOError(f"champion meta commit failed: rename to {p} lost")
 
 
 def current_champion_id(spark: SparkSession, index_path: str) -> int | None:

@@ -44,9 +44,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _ws_tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+# shared whitespace tokenizer (oracle-parity-sensitive; see textstats)
+from .textstats import _ws_tokens
 
 
 @dataclass

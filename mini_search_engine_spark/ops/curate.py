@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mini_search_engine_spark.ops.dedup import decontaminate
-from mini_search_engine_spark.ops.domains import source_stats
+from mini_search_engine_spark.ops.domains import source_filter
 from mini_search_engine_spark.ops.pipeline import _MOD, _sample_hash
 from mini_search_engine_spark.ops.textstats import quality_columns
 
@@ -66,19 +66,14 @@ def _stage_frames(
     all with the input schema)."""
     q = quality_columns(F.col(content_col))
 
-    kept_sources = source_stats(
+    s1 = source_filter(
         docs,
         content_col=content_col,
         source_col=source_col,
         max_dup_frac=max_dup_frac,
         min_avg_quality=min_source_quality,
         min_avg_tokens=min_avg_tokens,
-    ).filter(F.col("keep"))
-    s1 = docs.join(
-        F.broadcast(kept_sources.select(F.col("source").alias(source_col))),
-        on=source_col,
-        how="left_semi",
-    ).select(*docs.columns)
+    )
 
     # exact dedup: ONE shuffle keyed on the content hash, min-docid
     # canonical via row_number — no second join back onto the corpus.
@@ -103,12 +98,17 @@ def _stage_frames(
         # anti-join's right side (exchange reuse does not fire across it).
         # Flags for docs the earlier stages dropped are harmless extras in
         # an anti-join; the survivors' verdicts are identical.
+        # decontaminate's corpus contract is a (docid, content) frame —
+        # rename through it so curate's id_col keyword works for any id.
         flagged = decontaminate(
-            docs, eval_docs, window=window, content_col=content_col
+            docs.withColumnRenamed(id_col, "docid"),
+            eval_docs,
+            window=window,
+            content_col=content_col,
         ).filter(F.col("contam_frac") > F.lit(float(max_contam_frac)))
-        s4 = s3.join(flagged.select(id_col), on=id_col, how="left_anti").select(
-            *docs.columns
-        )
+        s4 = s3.join(
+            flagged.select(F.col("docid").alias(id_col)), on=id_col, how="left_anti"
+        ).select(*docs.columns)
     else:
         s4 = s3
 

@@ -58,15 +58,27 @@ def dsir_log_weights(
     buckets: int = 8192,
     content_col: str = "content",
     id_col: str = "docid",
+    persist_features: bool = True,
 ) -> DataFrame:
     """→ (id_col, n_features, log_weight) for every raw doc.
 
     ``log_weight`` sums ln(P_target/P_raw) over the doc's hashed bigram
     buckets; positive ⇒ more target-like than the raw average. The two
     K-bucket count tables are collected (bounded by ``buckets``) and the
-    per-bucket log ratio returns as one K-row broadcast."""
+    per-bucket log ratio returns as one K-row broadcast.
+
+    ``persist_features`` caches the raw side's (id, bucket) feature table:
+    it has TWO consumers — the bucket-count collect and the per-doc weight
+    join — which share no exchange, so without the cache the raw corpus'
+    tokenize → zip-bigrams → hash pipeline (the dominant CPU cost) runs
+    twice. Same convention as ``incremental_minhash_flags(persist_bands)``;
+    freed by Spark's ContextCleaner with the frame."""
     spark = raw_docs.sparkSession
     raw_b = _bucketed(raw_docs, content_col, [id_col], buckets)
+    if persist_features:
+        from pyspark import StorageLevel
+
+        raw_b = raw_b.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _counts(b_df: DataFrame) -> dict[int, int]:
         return {

@@ -156,12 +156,16 @@ def ivf_train_centroids(
     for _ in range(iters):
         d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(1)
+        # distinct farthest point per empty cell (see pq.pq_train)
+        far = np.argsort(-d2.min(1))
+        far_i = 0
         for c in range(n_lists):
             mask = assign == c
             if mask.any():
                 cent[c] = x[mask].mean(0)
             else:
-                cent[c] = x[d2.min(1).argmax()]
+                cent[c] = x[far[far_i % len(far)]]
+                far_i += 1
     return cent
 
 

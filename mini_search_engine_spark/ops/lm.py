@@ -34,9 +34,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _ws_tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
+# the ONE whitespace tokenizer every oracle-parity op shares — lm/dsir
+# scoring must never drift from textstats/curate gating
+from .textstats import _ws_tokens
 
 
 def _doc_bigrams(docs: DataFrame, content_col: str, extra_cols: list[str]) -> DataFrame:

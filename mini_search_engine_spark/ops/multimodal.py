@@ -77,11 +77,14 @@ def fake_decoder(payload: bytes, media_type: str) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Parse a binary netpbm P6 image → (width, height, HxWx3 uint8/uint16
-    pixel array). Pure stdlib: the netpbm header is ASCII tokens (magic,
-    width, height, maxval) separated by whitespace/comments, followed by
-    raw big-endian samples — no image library required."""
+def decode_ppm(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Parse a binary netpbm P6 image → (width, height, maxval, HxWx3
+    uint8/uint16 pixel array). Pure stdlib: the netpbm header is ASCII
+    tokens (magic, width, height, maxval) separated by whitespace/comments,
+    followed by raw big-endian samples — no image library required. The
+    header's maxval is returned because it is the normalization basis: a
+    legal P6 may use any maxval in [1, 65535] (e.g. 1023), and dividing by
+    a dtype-guessed 255/65535 would mis-scale every channel statistic."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     # header tokenizer: skip whitespace and '#' comments
@@ -102,7 +105,7 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     dtype = np.dtype(">u2") if maxval > 255 else np.uint8
     n = width * height * 3
     raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
-    return width, height, raster.reshape(height, width, 3)
+    return width, height, maxval, raster.reshape(height, width, 3)
 
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
@@ -137,9 +140,8 @@ def stdlib_decoder(payload: bytes, media_type: str) -> list[float]:
     Anything else falls back to ``fake_decoder`` (documented stand-in for
     codec formats this container cannot decode)."""
     if payload.startswith(b"P6"):
-        width, height, px = decode_ppm(payload)
-        maxval = 65535.0 if px.dtype.itemsize == 2 else 255.0
-        f = px.astype(np.float64) / maxval
+        width, height, maxval, px = decode_ppm(payload)
+        f = px.astype(np.float64) / float(maxval)
         return [
             width / 1e4,
             height / 1e4,

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mini_search_engine_spark.ops.dedup import md5_long
+from mini_search_engine_spark.ops.textstats import _ws_tokens
 
 # -- PII patterns (Java-regex == RE2 semantics for these) -------------------
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
@@ -61,10 +62,6 @@ def pii_redact(docs: DataFrame, content_col: str = "content") -> DataFrame:
         F.regexp_count(c, F.lit(IPV4_PATTERN)).cast("long").alias("n_ips"),
         red.alias("redacted"),
     )
-
-
-def _ws_tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != F.lit(""))
 
 
 def _max_run(sorted_arr: Column) -> Column:

@@ -83,12 +83,19 @@ def pq_train(
         for _ in range(iters):
             d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
+            # empty-cell repair pulls from the farthest-point ranking of
+            # THIS iteration's assignment, one DISTINCT point per empty
+            # cell — reusing one argmax would hand every empty cell the
+            # same centroid (duplicate codes, permanently dead cells).
+            far = np.argsort(-d2.min(1))
+            far_i = 0
             for c in range(k):
                 mask = assign == c
                 if mask.any():
                     cent[c] = xj[mask].mean(0)
-                else:  # empty cell: grab the point farthest from its centroid
-                    cent[c] = xj[d2.min(1).argmax()]
+                else:
+                    cent[c] = xj[far[far_i % len(far)]]
+                    far_i += 1
         books[j] = cent
     return books
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -203,7 +204,14 @@ def commit_snapshot(
             parent=cur.snapshot_id if cur else None,
             deletes=sorted((cur_del - del_rm) | del_add),
         )
-        tmp_name = f"{_meta_path(index_path)}/.snap-{snap.snapshot_id}.json.tmp"
+        # tmp name is unique PER WRITER (not just per id): two committers
+        # racing for the same id must stage under different paths, else
+        # B's create(overwrite=True) replaces A's staged bytes and A's
+        # winning rename publishes B's state as A's commit.
+        tmp_name = (
+            f"{_meta_path(index_path)}/.snap-{snap.snapshot_id}"
+            f".{uuid.uuid4().hex}.json.tmp"
+        )
         _, tmp = _hadoop_fs(spark, tmp_name)
         out = fs.create(tmp, True)
         try:

@@ -86,6 +86,22 @@ def test_unknown_kwarg_raises(spark):
         raise AssertionError("expected TypeError")
 
 
+def test_custom_id_col(spark):
+    """curate/curation_funnel with id_col != 'docid' must produce the same
+    funnel — the decontamination stage renames through dedup's (docid,
+    content) contract."""
+    docs = _corpus(spark).withColumnRenamed("docid", "page_id")
+    out = curate(docs, eval_docs=_eval(spark), id_col="page_id", **KW)
+    assert sorted(r["page_id"] for r in out.collect()) == [1, 2]
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel(
+            docs, eval_docs=_eval(spark), id_col="page_id", **KW
+        ).collect()
+    }
+    assert funnel["decontaminate"] == 2
+
+
 def test_no_eval_skips_decontamination(spark):
     out = curate(_corpus(spark), **{**KW, "max_contam_frac": 0.0})
     # doc 5 survives when there is no eval set

@@ -21,18 +21,37 @@ from mini_search_engine_spark.ops.multimodal import (
 
 def test_ppm_roundtrip():
     p = synthesize_ppm(42, width=16, height=12)
-    w, h, px = decode_ppm(p)
-    assert (w, h) == (16, 12)
+    w, h, mv, px = decode_ppm(p)
+    assert (w, h, mv) == (16, 12, 255)
     assert px.shape == (12, 16, 3) and px.dtype == np.uint8
     # deterministic in the seed, different across seeds
     assert synthesize_ppm(42, 16, 12) == p
     assert synthesize_ppm(43, 16, 12) != p
     # comment + multi-whitespace headers parse too
     manual = b"P6\n# c1\n# c2\n 4\t3\n255\n" + bytes(range(36))
-    w2, h2, px2 = decode_ppm(manual)
-    assert (w2, h2) == (4, 3) and px2[0, 0, 0] == 0 and px2[2, 3, 2] == 35
+    w2, h2, mv2, px2 = decode_ppm(manual)
+    assert (w2, h2, mv2) == (4, 3, 255)
+    assert px2[0, 0, 0] == 0 and px2[2, 3, 2] == 35
     with pytest.raises(ValueError):
         decode_ppm(b"JFIF....")
+
+
+def test_ppm_nonstandard_maxval_normalization():
+    """Channel stats must normalize by the HEADER maxval, not a dtype
+    guess: an all-maxval image scores mean 1.0 whatever maxval says."""
+    from mini_search_engine_spark.ops import stdlib_decoder
+
+    # maxval=15, one-byte samples, every pixel at full scale
+    one = b"P6\n2 2\n15\n" + bytes([15] * 12)
+    feats = stdlib_decoder(one, "image")
+    assert feats[2] == feats[3] == feats[4] == 1.0  # mean R/G/B
+    # maxval=1023, two-byte big-endian samples at full scale
+    px = (1023).to_bytes(2, "big") * 12
+    two = b"P6\n2 2\n1023\n" + px
+    w, h, mv, arr = decode_ppm(two)
+    assert (w, h, mv) == (2, 2, 1023) and arr.max() == 1023
+    feats2 = stdlib_decoder(two, "image")
+    assert feats2[2] == feats2[7] == 1.0  # mean R and max
 
 
 def test_wav_roundtrip():
@@ -73,7 +92,7 @@ def test_real_media_end_to_end(spark):
     # payloads really decode, and meta agrees with the parsed header
     for d, r in rows_m.items():
         if r["media_type"] == "image":
-            w, h, _ = decode_ppm(bytes(r["payload"]))
+            w, h, _, _ = decode_ppm(bytes(r["payload"]))
             assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
         elif r["media_type"] == "audio":
             sr, x = decode_wav(bytes(r["payload"]))
