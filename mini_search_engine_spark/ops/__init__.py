@@ -15,6 +15,8 @@ from mini_search_engine_spark.ops.dedup import (
 )
 from mini_search_engine_spark.ops.incremental import (
     append_exact_store,
+    compact_exact_store,
+    compact_minhash_store,
     append_minhash_store,
     incremental_exact_flags,
     incremental_minhash_flags,
@@ -138,6 +140,8 @@ __all__ = [
     "duplicate_spans",
     "exact_dedup",
     "append_exact_store",
+    "compact_exact_store",
+    "compact_minhash_store",
     "append_minhash_store",
     "incremental_exact_flags",
     "incremental_minhash_flags",

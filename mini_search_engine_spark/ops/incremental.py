@@ -53,6 +53,8 @@ __all__ = [
     "append_exact_store",
     "read_exact_store",
     "incremental_exact_flags",
+    "compact_minhash_store",
+    "compact_exact_store",
 ]
 
 
@@ -189,16 +191,35 @@ def incremental_minhash_flags(
 # exact (sha256) store
 # --------------------------------------------------------------------------
 
-def write_exact_store(docs: DataFrame, path: str, content_col: str = "content") -> None:
+def write_exact_store(
+    docs: DataFrame, path: str, content_col: str = "content", batch_id: int = 0
+) -> None:
     """(sha, canonical_docid) per distinct content, sha-sorted within files
-    for row-group stat pruning on selective probes."""
+    for row-group stat pruning on selective probes. Hive-partitioned by
+    ``batch`` exactly like the minhash store — the initial corpus is
+    ``batch=<batch_id>``, each later append its own partition."""
     exact_dedup(docs, content_col).select("sha", "canonical_docid") \
-        .sortWithinPartitions("sha").write.mode("overwrite").parquet(path)
+        .sortWithinPartitions("sha") \
+        .withColumn("batch", F.lit(int(batch_id))) \
+        .write.mode("overwrite").partitionBy("batch").parquet(path)
 
 
-def append_exact_store(docs: DataFrame, path: str, content_col: str = "content") -> None:
-    exact_dedup(docs, content_col).select("sha", "canonical_docid") \
-        .sortWithinPartitions("sha").write.mode("append").parquet(path)
+def append_exact_store(
+    docs: DataFrame, path: str, batch_id: int, content_col: str = "content"
+) -> None:
+    """Append a (deduped) batch's shas under its own ``batch=<id>``
+    partition with DYNAMIC overwrite — same replay idempotence as
+    ``append_minhash_store``: a crash-replayed batch REWRITES its own
+    partition instead of appending duplicate (sha, canonical) rows."""
+    (
+        exact_dedup(docs, content_col).select("sha", "canonical_docid")
+        .sortWithinPartitions("sha")
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(path)
+    )
 
 
 def read_exact_store(spark: SparkSession, path: str) -> DataFrame:
@@ -215,17 +236,22 @@ def incremental_exact_flags(
     ``store_canonical``: canonical docid of identical content already in the
     corpus (NULL ⇒ unseen). ``batch_dup_of``: smallest batch docid with the
     same content, when smaller than this one. Same broadcast-probe shape as
-    the minhash path: the store streams once, never shuffles."""
+    the minhash path: the store streams once, never shuffles. The
+    ``canonical_docid != docid`` guard is the same replay-safety valve as
+    the minhash path's: a crash-replayed batch probes a store that already
+    holds its own survivors — without the guard every survivor would match
+    itself and the whole batch would be dropped as dups of itself."""
     batch = new_docs.select("docid", F.sha2(F.col(content_col), 256).alias("sha"))
-    probe = batch.select("sha").distinct()
+    probe = batch.select("docid", "sha")
     matched = (
         store.join(F.broadcast(probe), "sha")
-        .groupBy("sha")
+        .filter(F.col("canonical_docid") != F.col("docid"))
+        .groupBy("docid")
         .agg(F.min("canonical_docid").alias("store_canonical"))
     )
     bmin = batch.groupBy("sha").agg(F.min("docid").alias("batch_canonical"))
     return (
-        batch.join(F.broadcast(matched), "sha", "left")
+        batch.join(F.broadcast(matched), "docid", "left")
         .join(F.broadcast(bmin), "sha")
         .select(
             "docid",
@@ -238,4 +264,103 @@ def incremental_exact_flags(
                 | (F.col("batch_canonical") < F.col("docid"))
             ).cast("int").alias("is_dup"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# store maintenance: compaction + takedown purge
+# --------------------------------------------------------------------------
+
+def _compact_partitioned_store(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    part_cols: list[str],
+    remove: DataFrame | None,
+    remove_on: str,
+    sort_col: str,
+) -> int:
+    """Shared engine for the two stores: stream every live row into a
+    STAGING directory's fresh ``batch=<max+1>`` partition (the store path
+    cannot be both read and overwritten in one Spark job, and truncating
+    lineage to allow it would materialize a store-sized frame), rename
+    the staged partition dir into the store, THEN delete the superseded
+    batch directories. Crash windows: before the rename → an orphan
+    staging dir the next compaction overwrites; between rename and
+    deletes → duplicate rows across old and new partitions — harmless for
+    every consumer (flags aggregate with min over matches; duplicate
+    identical rows change no verdict) and cleared by the next compaction.
+    Returns the new batch id."""
+    from mini_search_engine_spark.index.build import _hadoop_fs
+
+    cur = spark.read.parquet(path)
+    old_batches = [r["batch"] for r in cur.select("batch").distinct().collect()]
+    new_batch = max(old_batches) + 1
+    live = cur.select(*cols)
+    if remove is not None:
+        live = live.join(
+            F.broadcast(remove.select(F.col(remove.columns[0]).alias(remove_on))),
+            on=remove_on,
+            how="left_anti",
+        )
+    stage = path.rstrip("/") + f".compact-{new_batch}"
+    (
+        live.sortWithinPartitions(sort_col)
+        .withColumn("batch", F.lit(int(new_batch)))
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(stage)
+    )
+    fs, _ = _hadoop_fs(spark, path)
+    _, staged_part = _hadoop_fs(spark, f"{stage}/batch={new_batch}")
+    _, dest_part = _hadoop_fs(spark, f"{path}/batch={new_batch}")
+    if not fs.rename(staged_part, dest_part):
+        raise IOError(f"store compaction commit failed: rename to {dest_part}")
+    _, stage_dir = _hadoop_fs(spark, stage)
+    fs.delete(stage_dir, True)  # _SUCCESS remnants
+    for b in old_batches:
+        _, bdir = _hadoop_fs(spark, f"{path}/batch={b}")
+        fs.delete(bdir, True)
+    return new_batch
+
+
+def compact_minhash_store(
+    spark: SparkSession,
+    path: str,
+    remove_docids: DataFrame | None = None,
+) -> int:
+    """Fold every per-batch partition of the LSH band store into ONE fresh
+    batch partition (restoring the band_key file sort appends can't keep),
+    optionally dropping ``remove_docids`` rows — the takedown/opt-out path:
+    a purged doc must stop matching future batches, else its content
+    "ghosts" in dedup verdicts after deletion from the corpus. One read +
+    one partitioned write; the store never shuffles to the driver. Run it
+    on the nightly cadence appends outpace (same role as index
+    ``maybe_compact``). Returns the surviving batch id."""
+    return _compact_partitioned_store(
+        spark, path,
+        cols=["docid", "band", "band_key"],
+        part_cols=["batch", "band"],
+        remove=remove_docids,
+        remove_on="docid",
+        sort_col="band_key",
+    )
+
+
+def compact_exact_store(
+    spark: SparkSession,
+    path: str,
+    remove_docids: DataFrame | None = None,
+) -> int:
+    """Exact-store twin of ``compact_minhash_store``. ``remove_docids``
+    drops rows whose CANONICAL doc was taken down; note a takedown of
+    content that still exists under other docids should instead re-point
+    the sha (delete + ``append_exact_store`` of a surviving holder)."""
+    return _compact_partitioned_store(
+        spark, path,
+        cols=["sha", "canonical_docid"],
+        part_cols=["batch"],
+        remove=remove_docids,
+        remove_on="canonical_docid",
+        sort_col="sha",
     )

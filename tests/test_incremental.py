@@ -5,7 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from mini_search_engine_spark.ops import (
+    append_exact_store,
     append_minhash_store,
+    compact_exact_store,
+    compact_minhash_store,
     incremental_exact_flags,
     incremental_minhash_flags,
     read_exact_store,
@@ -230,6 +233,113 @@ def test_self_exclusion_keeps_verdicts_stable(spark, corpus, tmp_path):
     }
     for d in keep:
         assert tuple(after[d]) == tuple(before[d])
+
+
+def test_exact_append_idempotent_under_replay(spark, corpus, tmp_path):
+    """Exact-store twin of the minhash replay test: same batch_id rewrites
+    its partition instead of appending duplicate (sha, canonical) rows."""
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "sha_replay")
+    write_exact_store(docs.filter(F.col("docid") % 4 != 0), path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    n0 = read_exact_store(spark, path).count()
+    append_exact_store(batch, path, batch_id=7)
+    n1 = read_exact_store(spark, path).count()
+    append_exact_store(batch, path, batch_id=7)
+    n2 = read_exact_store(spark, path).count()
+    assert n1 == n2 > n0
+
+
+def test_exact_self_exclusion_keeps_verdicts_stable(spark, corpus, tmp_path):
+    """Dirty-replay store state for the EXACT path: after the batch's own
+    survivors land in the store, is_dup verdicts are unchanged — without
+    the canonical_docid != docid guard every survivor would match itself
+    and the whole batch would be flagged."""
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "sha_selfex")
+    write_exact_store(docs.filter(F.col("docid") % 4 != 0), path)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    before = {
+        r["docid"]: r
+        for r in incremental_exact_flags(
+            batch, read_exact_store(spark, path)
+        ).collect()
+    }
+    keep = [d for d, r in before.items() if r["is_dup"] == 0]
+    assert keep, "corpus fixture must leave some exact survivors"
+    append_exact_store(batch.filter(F.col("docid").isin(keep)), path, batch_id=1)
+    after = {
+        r["docid"]: r
+        for r in incremental_exact_flags(
+            batch, read_exact_store(spark, path)
+        ).collect()
+    }
+    assert {d: r["is_dup"] for d, r in after.items()} == {
+        d: r["is_dup"] for d, r in before.items()
+    }
+    for d in keep:
+        assert tuple(after[d]) == tuple(before[d])
+
+
+def test_compact_store_preserves_flags(spark, corpus, tmp_path):
+    """Folding all batch partitions into one changes no row and no verdict;
+    the superseded batch dirs are gone afterwards."""
+    import os
+
+    docs = _mk_docs(spark, corpus)
+    path = str(tmp_path / "mh_compact")
+    write_minhash_store(docs.filter(F.col("docid") % 4 == 1), path)
+    append_minhash_store(docs.filter(F.col("docid") % 4 == 2), path, batch_id=1)
+    append_minhash_store(docs.filter(F.col("docid") % 4 == 3), path, batch_id=2)
+    batch = docs.filter(F.col("docid") % 4 == 0)
+    rows_before = sorted(
+        map(tuple, read_minhash_store(spark, path).collect())
+    )
+    before = sorted(
+        map(tuple, incremental_minhash_flags(
+            batch, read_minhash_store(spark, path)).collect())
+    )
+    new_b = compact_minhash_store(spark, path)
+    parts = [d for d in os.listdir(path) if d.startswith("batch=")]
+    assert parts == ["batch=%d" % new_b]
+    assert sorted(map(tuple, read_minhash_store(spark, path).collect())) == rows_before
+    after = sorted(
+        map(tuple, incremental_minhash_flags(
+            batch, read_minhash_store(spark, path)).collect())
+    )
+    assert after == before
+
+
+def test_purge_docids_stops_store_matches(spark, corpus, tmp_path):
+    """The takedown path: after purging a store doc's band rows, it no
+    longer matches incoming batches (no ghost dedup verdicts); unrelated
+    rows survive. Exact-store twin purges by canonical docid."""
+    docs = _mk_docs(spark, corpus)
+    mh = str(tmp_path / "mh_purge")
+    ex = str(tmp_path / "sha_purge")
+    # split ACROSS the %4 text families (the %4 split would leave the
+    # store and batch with disjoint families — no store matches to purge)
+    base = docs.filter(F.col("docid") < 16)
+    write_minhash_store(base, mh)
+    write_exact_store(base, ex)
+    batch = docs.filter(F.col("docid") >= 16)
+    before = {
+        r["docid"]: r["store_match"]
+        for r in incremental_minhash_flags(
+            batch, read_minhash_store(spark, mh)).collect()
+    }
+    victims = sorted({m for m in before.values() if m is not None})
+    assert victims, "fixture must produce at least one store match"
+    gone = spark.createDataFrame([(v,) for v in victims], "docid long")
+    compact_minhash_store(spark, mh, remove_docids=gone)
+    left = read_minhash_store(spark, mh)
+    assert left.filter(F.col("docid").isin(victims)).count() == 0
+    assert left.count() > 0
+    compact_exact_store(spark, ex, remove_docids=gone)
+    assert (
+        read_exact_store(spark, ex)
+        .filter(F.col("canonical_docid").isin(victims)).count() == 0
+    )
 
 
 # ---------------------------------------------------------------------------
