@@ -281,21 +281,27 @@ def _compact_partitioned_store(
     sort_col: str,
 ) -> int:
     """Shared engine for the two stores: stream every live row into a
-    STAGING directory's fresh ``batch=<max+1>`` partition (the store path
-    cannot be both read and overwritten in one Spark job, and truncating
-    lineage to allow it would materialize a store-sized frame), rename
-    the staged partition dir into the store, THEN delete the superseded
-    batch directories. Crash windows: before the rename → an orphan
-    staging dir the next compaction overwrites; between rename and
-    deletes → duplicate rows across old and new partitions — harmless for
-    every consumer (flags aggregate with min over matches; duplicate
-    identical rows change no verdict) and cleared by the next compaction.
-    Returns the new batch id."""
+    STAGING directory's fresh batch partition (the store path cannot be
+    both read and overwritten in one Spark job, and truncating lineage to
+    allow it would materialize a store-sized frame), rename the staged
+    partition dir into the store, THEN delete the superseded batch
+    directories. Crash windows: before the rename → an orphan staging dir
+    the next compaction overwrites; between rename and deletes →
+    duplicate rows across old and new partitions — harmless for every
+    consumer (flags aggregate with min over matches; duplicate identical
+    rows change no verdict) and cleared by the next compaction. Returns
+    the new batch id.
+
+    The folded partition id DESCENDS from -1 (-1, -2, …) while stream /
+    nightly appends ascend from 1 (base corpus = 0): a compacted
+    partition can therefore never collide with a future
+    ``append_*_store(batch_id=...)``, whose dynamic overwrite of
+    ``batch=<id>`` would otherwise silently REPLACE the folded store."""
     from mini_search_engine_spark.index.build import _hadoop_fs
 
     cur = spark.read.parquet(path)
     old_batches = [r["batch"] for r in cur.select("batch").distinct().collect()]
-    new_batch = max(old_batches) + 1
+    new_batch = min(0, min(old_batches)) - 1
     live = cur.select(*cols)
     if remove is not None:
         live = live.join(

@@ -588,12 +588,25 @@ def incremental_dedup_stream(
     num_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
+    compact_every: int | None = None,
 ):
     """Continuous incremental near-dedup: every arriving micro-batch is
     flagged against the persisted LSH band store (``ops.incremental``) PLUS
     within itself, the per-doc verdicts land in ``flags_path``, and the
     surviving (non-dup) docs' band keys are appended to the store so later
     batches dedup against them.
+
+    ``compact_every=N`` folds the store's accumulated batch partitions
+    into one (``ops.incremental.compact_minhash_store``) after every Nth
+    micro-batch, inside ``foreachBatch`` — sequential with the stream's
+    own jobs, so there is no read-while-delete race. Folded partitions
+    take DESCENDING negative ids, so a crash-replayed batch's
+    ``batch=<id+1>`` rewrite can never clobber folded data; a replay
+    after compaction re-appends rows compaction already folded, which
+    only duplicates them (verdicts unchanged — min over matches) until
+    the next compaction clears the copies. Offline compaction of the same
+    store is also safe for ids but must not run CONCURRENTLY with an
+    active stream (its partition deletes race in-flight probe scans).
 
     Crash-replay safety, step by step:
 
@@ -616,6 +629,7 @@ def incremental_dedup_stream(
     Returns the StreamingQuery; call ``.awaitTermination()``."""
     from mini_search_engine_spark.ops.incremental import (
         append_minhash_store,
+        compact_minhash_store,
         incremental_minhash_flags,
         read_minhash_store,
     )
@@ -635,6 +649,8 @@ def incremental_dedup_stream(
             committed.filter(F.col("is_dup") == 0).select("docid"), "docid"
         )
         append_minhash_store(survivors, store_path, batch_id=batch_id + 1, **kw)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_minhash_store(spark, store_path)
 
     reader = (
         spark.readStream.schema(schema)

@@ -540,3 +540,50 @@ def test_incremental_dedup_stream(spark, tmp_path):
     all_flags = spark.read.parquet(flags)
     assert all_flags.count() == 18  # 14 + 4, no replays
     assert all_flags.filter("docid >= 20 AND is_dup = 0").count() == 0
+
+
+def test_incremental_dedup_stream_auto_compact(spark, tmp_path):
+    """compact_every folds the store's batch partitions inside the stream:
+    verdicts identical to the non-compacting run, store rows preserved,
+    partition count collapsed to ONE negative folded id (which a future
+    append's positive batch id can never clobber)."""
+    import os
+
+    from mini_search_engine_spark.ops import (
+        read_minhash_store,
+        write_minhash_store,
+    )
+    from mini_search_engine_spark.streaming import incremental_dedup_stream
+
+    def rows(lo, hi):
+        return [
+            (i, " ".join(f"tok{k}r{i % 8}" for k in range(10)), "en", "t", 0)
+            for i in range(lo, hi)
+        ]
+
+    inp = str(tmp_path / "cc_in")
+    store = str(tmp_path / "cc_store")
+    flags = str(tmp_path / "cc_flags")
+    write_minhash_store(
+        load_corpus(spark.createDataFrame(rows(0, 6), SCHEMA)), store
+    )
+    spark.createDataFrame(rows(6, 13), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows(13, 20), SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_dedup_stream(
+        spark, inp, SCHEMA, store, flags, max_files_per_trigger=1,
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["docid"]: r["is_dup"] for r in spark.read.parquet(flags).collect()
+    }
+    assert got == {i: (0 if i in (6, 7) else 1) for i in range(6, 20)}
+    # the store folded after every batch: exactly one (negative) partition
+    parts = sorted(d for d in os.listdir(store) if d.startswith("batch="))
+    assert len(parts) == 1 and int(parts[0][len("batch="):]) < 0
+    # folded store still carries base + both batches' survivors
+    docids = {
+        r["docid"] for r in read_minhash_store(spark, store).select("docid").distinct().collect()
+    }
+    assert docids == set(range(0, 8))  # base 0-5 + survivors 6, 7
