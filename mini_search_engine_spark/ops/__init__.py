@@ -26,6 +26,7 @@ from mini_search_engine_spark.ops.incremental import (
     write_minhash_store,
 )
 from mini_search_engine_spark.ops.ann import (
+    append_ivf_index,
     cosine_pairs,
     cosine_topk,
     mmr_rerank,
@@ -163,6 +164,7 @@ __all__ = [
     "ivf_fit_centroids_distributed",
     "read_ivf_index",
     "write_ivf_index",
+    "append_ivf_index",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
     "dsir_log_weights",

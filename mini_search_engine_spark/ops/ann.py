@@ -315,8 +315,39 @@ def write_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> 
     assigned.write.mode(mode).partitionBy("ivf_list").parquet(path)
 
 
+def append_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Nightly append to an on-disk IVF index: assign the arriving batch
+    to the EXISTING centroids (never refit — the coarse quantizer is the
+    index's contract; refitting would orphan every stored assignment) and
+    write under ``(batch=<id>, ivf_list=...)`` partitions with DYNAMIC
+    overwrite, the same replay-idempotence pattern as
+    ``incremental.append_minhash_store``: a crash-replayed batch rewrites
+    its own partitions in place. Probes still prune on ``ivf_list`` —
+    partition pruning composes across the extra batch level (both are
+    directory levels in the same Hive layout). The initial
+    ``write_ivf_index`` output has no batch level, so begin an
+    incremental index by writing batch 0 through THIS function."""
+    (
+        ivf_assign(vectors, centroids, id_col, vec_col)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "ivf_list")
+        .parquet(path)
+    )
+
+
 def read_ivf_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    # batch is physical layout, not search schema — probes filter ivf_list
+    return df.drop("batch") if "batch" in df.columns else df
 
 
 def ivf_cosine_topk(

@@ -334,6 +334,44 @@ def test_ivf_partition_pruning(vectors, tmp_path, spark):
     assert "PartitionFilters" in plan and "ivf_list" in plan, plan
 
 
+def test_ivf_incremental_append(vectors, tmp_path, spark):
+    """Nightly IVF appends: two batches written through append_ivf_index
+    answer probes identically to one all-at-once index, replays rewrite in
+    place (no duplicate rows), and probes still prune on ivf_list."""
+    from pyspark.sql import functions as F
+
+    from mini_search_engine_spark.ops import (
+        append_ivf_index,
+        ivf_assign,
+        ivf_cosine_topk,
+        ivf_fit_centroids,
+    )
+    from mini_search_engine_spark.ops.ann import read_ivf_index
+
+    cent = ivf_fit_centroids(vectors, n_centroids=8, n_iter=4)
+    path = str(tmp_path / "ivf_incr")
+    b0 = vectors.filter(F.col("vec_id") % 2 == 0)
+    b1 = vectors.filter(F.col("vec_id") % 2 == 1)
+    append_ivf_index(b0, path, cent, batch_id=0)
+    append_ivf_index(b1, path, cent, batch_id=1)
+
+    q = list(vectors.orderBy("vec_id").limit(1).collect()[0]["embedding"])
+    disk = read_ivf_index(spark, path)
+    dsk_df = ivf_cosine_topk(disk, cent, q, k=5, nprobe=2)
+    mem = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(ivf_assign(vectors, cent), cent, q, k=5, nprobe=2).collect()
+    ]
+    assert [r["vec_id"] for r in dsk_df.collect()] == mem
+    plan = dsk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+
+    # replay idempotence: rewriting batch 1 changes nothing
+    n0 = read_ivf_index(spark, path).count()
+    append_ivf_index(b1, path, cent, batch_id=1)
+    assert read_ivf_index(spark, path).count() == n0 == vectors.count()
+
+
 def test_duplicate_spans(spark):
     from mini_search_engine_spark.corpus import load_corpus
     from mini_search_engine_spark.ops import duplicate_spans
