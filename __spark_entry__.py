@@ -522,6 +522,21 @@ def q_champion_bm25(spark, sf_dir):
     return _round_score(raw, k=10)
 
 
+def q_rescore_topk(spark, sf_dir):
+    """Two-phase retrieval (search/ranking.py rescore_topk): champion-tier
+    first pass (top-8 postings per term) nominates 30 candidates on the
+    6dp-rounded tier score, then the FULL index rescores exactly those
+    docs — candidate errors stay confined to never-nominated docs, scores
+    of returned docs are exact. The oracle replicates both phases."""
+    from mini_search_engine_spark.index.prune import champion_index
+    from mini_search_engine_spark.search import rescore_topk
+
+    idx = _index(spark, sf_dir)
+    tier = champion_index(idx, n_per_term=8)
+    raw = rescore_topk(idx, tier, ["spark", "merge"], fetch_k=30, topk=20)
+    return _round_score(raw, k=10)
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-field construction (search/anchor.py): per target, inbound
     link snippets (first 3 whitespace tokens of each linking doc)
@@ -1730,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recently-green unchanged entries at the tail.
     return {
         # --- new in r5 ---
+        "rescore_topk": q_rescore_topk,
         "incremental_dedup": q_incremental_dedup,
         "incremental_exact": q_incremental_exact,
         "perplexity_buckets": q_perplexity_buckets,
@@ -2600,6 +2616,43 @@ contrib AS (
        JOIN dl USING (doc_id) CROSS JOIN gl
 ),
 s AS (SELECT doc_id, sum(sc) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id AS docid, round(score, 6) AS score
+FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
+
+    # two-phase retrieval: champion-tier candidates (rounded-score cut,
+    # docid tie-break) → exact rescore on the full tf table
+    sqls["rescore_topk"] = f"""WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks)::INT AS dl FROM tl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+gl AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl),
+q(term, qw) AS (VALUES ('spark', 1.0), ('merge', 1.0)),
+champ AS (SELECT doc_id, term, tf FROM (
+            SELECT tf.*, row_number() OVER (PARTITION BY term
+                                            ORDER BY tf DESC, dl.dl, doc_id) AS r
+            FROM tf JOIN dl USING (doc_id)) WHERE r <= 8),
+ccontrib AS (
+  SELECT c.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (c.tf * (1.2 + 1.0))
+              / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM champ c JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+cand AS (SELECT doc_id FROM (
+           SELECT doc_id, round(sum(sc), 6) AS cscore FROM ccontrib GROUP BY doc_id)
+         ORDER BY cscore DESC, doc_id LIMIT 30),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qw * ln(1.0 + (gl.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gl.avgdl)) AS sc
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN gl
+),
+s AS (SELECT doc_id, sum(sc) AS score FROM contrib
+      WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id)
 SELECT doc_id AS docid, round(score, 6) AS score
 FROM s ORDER BY round(score, 6) DESC, docid LIMIT 10"""
 

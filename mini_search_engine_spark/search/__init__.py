@@ -14,6 +14,7 @@ from mini_search_engine_spark.search.ranking import (
     bm25_topk,
     bm25_topk_batch,
     bm25_page,
+    rescore_topk,
 )
 from mini_search_engine_spark.search.querylang import (
     parse_query,
@@ -79,6 +80,7 @@ __all__ = [
     "bm25_topk_batch",
     "ltr_features",
     "bm25_page",
+    "rescore_topk",
     "parse_query",
     "search_query",
     "expand_synonyms",

@@ -422,6 +422,48 @@ def bm25_scores(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     return _bm25_exact(raw, rows, index.avgdl)
 
 
+def rescore_topk(
+    index: InvertedIndex,
+    tier: InvertedIndex,
+    keywords: list[str],
+    fetch_k: int = 100,
+    topk: int = 10,
+) -> DataFrame:
+    """Two-phase retrieval — the web-scale serving architecture: a cheap
+    first pass over the champion tier (``index/prune.py``) nominates
+    ``fetch_k`` candidates, then the FULL index rescores exactly those
+    docs and returns the true BM25 top-``topk``.
+
+    Why both phases: the champion tier keeps global df/avgdl, so a doc
+    that SURVIVES pruning for every query term scores identically there
+    — but a doc pruned out of one term's champion list loses that term's
+    contribution in phase 1. Rescoring candidates on the full postings
+    restores each candidate's exact score, so errors are confined to
+    docs the tier never nominates (the classic static-pruning recall
+    trade, Manning et al. §7.1.3), never to scores of returned docs.
+
+    Scale shape: phase 1 reads α·n_per_term postings per query term from
+    the bounded tier (TakeOrderedAndProject, corpus-size-independent);
+    the candidate set (≤ fetch_k rows) BROADCASTS into phase 2, whose
+    scan reads only the query terms' postings (int tid pushdown) and
+    joins map-side — no shuffle of either index, both cuts bounded.
+    Candidates cut on the 6dp-ROUNDED phase-1 score (docid tie-break) so
+    the nominated set is reproducible across engines/summation orders."""
+    cand = (
+        bm25_scores(tier, keywords)
+        .select("docid", F.round("score", 6).alias("cscore"))
+        .orderBy(F.desc("cscore"), F.asc("docid"))
+        .limit(fetch_k)
+        .select("docid")
+    )
+    return (
+        bm25_scores(index, keywords)
+        .join(F.broadcast(cand), "docid")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(topk)
+    )
+
+
 def bm25_page(
     index: InvertedIndex,
     keywords: list[str],

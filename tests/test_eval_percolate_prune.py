@@ -400,3 +400,49 @@ def test_percolator_compile_once_reuse(spark):
     ref1 = sorted(map(tuple, percolate(b1, queries, analyzer="punct_nostem").collect()))
     ref2 = sorted(map(tuple, percolate(b2, queries, analyzer="punct_nostem").collect()))
     assert r1 == ref1 and r2 == ref2 and len(r2) == 2
+
+
+# --------------------------------------------------------------------------
+# two-phase retrieval (champion candidates -> exact rescore)
+# --------------------------------------------------------------------------
+
+def test_rescore_returns_exact_scores_for_nominated_docs(champ_setup):
+    """A doc pruned out of one term's champion list underscores in phase 1
+    but must come back with its EXACT full-index score from phase 2."""
+    from mini_search_engine_spark.search import rescore_topk
+
+    idx, tier = champ_setup  # n_per_term=1: apple keeps doc0, banana keeps doc2
+    exact = {r["docid"]: r["score"] for r in bm25_topk(idx, ["apple", "banana"], topk=10).collect()}
+    tier_scores = {r["docid"]: r["score"] for r in bm25_topk(tier, ["apple", "banana"], topk=10).collect()}
+    out = {r["docid"]: r["score"] for r in rescore_topk(idx, tier, ["apple", "banana"], fetch_k=10, topk=10).collect()}
+    # doc2 survives only banana's champion list -> tier underscores it
+    assert tier_scores[2] < exact[2] - 1e-9
+    # ...but phase 2 restores the exact score for every returned doc
+    for d, s in out.items():
+        assert abs(s - exact[d]) < 1e-12
+    # doc1 survives NO champion list -> never nominated, absent even at
+    # fetch_k=corpus: the recall trade lives entirely in candidate gen
+    assert 1 in exact and 1 not in out
+
+
+def test_rescore_equals_exact_when_tier_keeps_everyone(champ_setup):
+    from mini_search_engine_spark.search import rescore_topk
+
+    idx, _ = champ_setup
+    wide = champion_index(idx, n_per_term=10)  # nothing pruned
+    exact = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(idx, ["apple", "banana"], topk=4).collect()]
+    out = [(r["docid"], round(r["score"], 9)) for r in rescore_topk(idx, wide, ["apple", "banana"], fetch_k=10, topk=4).collect()]
+    assert out == exact
+
+
+def test_rescore_candidate_broadcast_plan(champ_setup):
+    """Phase 2 must join the bounded candidate set as a broadcast — the
+    full index's postings never shuffle for the rescore."""
+    from mini_search_engine_spark.search import rescore_topk
+
+    idx, tier = champ_setup
+    df = rescore_topk(idx, tier, ["apple", "banana"], fetch_k=10, topk=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
