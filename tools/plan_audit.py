@@ -152,8 +152,63 @@ def audit(sf_dir: str) -> list[dict]:
     )
     print(("OK  " if ok else "FAIL") + " partition_pruning")
 
+    # 7. duplicate_spans (r5 single-exchange shape): the dup verdict is a
+    #    window aggregate on the stream itself — no verdict-table join, no
+    #    count_distinct Expand; exactly two hash exchanges total (h, docid).
+    from mini_search_engine_spark.ops import duplicate_spans
+
+    p = final_plan(duplicate_spans(docs, window=8))
+    n_ex = len(_re.findall(r"Exchange hashpartitioning", _dedupe_aqe(p)))
+    ok = (
+        "Join" not in p
+        and "Expand" not in p
+        and "Window" in p
+        and n_ex == 2
+    )
+    checks.append(
+        {
+            "op": "duplicate_spans",
+            "ok": ok,
+            "patterns": {
+                "no Join": {"expected": True, "present": "Join" not in p},
+                "no Expand": {"expected": True, "present": "Expand" not in p},
+                "Window verdict": {"expected": True, "present": "Window" in p},
+                "exactly 2 hash exchanges": {"expected": True, "present": n_ex == 2},
+            },
+            "notes": "window stream shuffles once on h, once on docid",
+        }
+    )
+    print(("OK  " if ok else "FAIL") + " duplicate_spans")
+
+    # 8. two-phase retrieval: candidate set broadcasts into the rescore,
+    #    both cuts are bounded TakeOrderedAndProject, no sort-merge join.
+    from mini_search_engine_spark.index.prune import champion_index
+    from mini_search_engine_spark.search import rescore_topk
+
+    tier = champion_index(idx, n_per_term=8)
+    p = final_plan(rescore_topk(idx, tier, ["spark", "merge"], fetch_k=30, topk=10))
+    check(
+        "rescore_topk",
+        p,
+        {
+            "BroadcastHashJoin": True,
+            "SortMergeJoin": False,
+            "TakeOrderedAndProject": True,
+            "PushedFilters: [": True,
+        },
+        "bounded candidate broadcast; rescore scan reads query-term postings only",
+    )
+
     spark.stop()
     return checks
+
+
+def _dedupe_aqe(plan: str) -> str:
+    """executedPlan().toString() prints the AQE final plan followed by the
+    initial plan — keep only the final section so node counts aren't
+    doubled."""
+    cut = plan.find("+- == Initial Plan ==")
+    return plan if cut < 0 else plan[:cut]
 
 
 def main() -> None:
