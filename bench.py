@@ -310,6 +310,14 @@ def main():
     champ.postings.persist().count()
     ext["champion_build"] = [round(time.time() - t0, 3)]
     timed_ext("champion_bm25_top10", lambda: bm25_topk(champ, QUERY_TERMS, 10).collect())
+    # two-phase serving: champion candidates -> exact rescore on the full
+    # index (fetch_k=100 nominations, exact top-10 back)
+    from mini_search_engine_spark.search import rescore_topk
+
+    timed_ext(
+        "rescore_top10",
+        lambda: rescore_topk(idx, champ, QUERY_TERMS, fetch_k=100, topk=10).collect(),
+    )
     champ.postings.unpersist()
 
     # round-5 operators: LM scoring, domain curation, end-to-end pipeline,
