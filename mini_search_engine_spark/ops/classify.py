@@ -122,6 +122,12 @@ def nb_train(
             *[F.log(F.coalesce(F.col(f"`{y}`"), F.lit(0)).cast("double") + F.lit(1.0)) for y in labels]
         ).alias("d"),
     )
+    # Materialize the (vocab × L) model table WHILE counts is still cached —
+    # deltas is lazy, and unpersisting first would make every later
+    # nb_score broadcast re-derive the corpus tokenize+count pipeline from
+    # scratch. localCheckpoint also truncates the lineage, so the model a
+    # caller holds onto stays a bounded table, not a corpus-sized DAG.
+    deltas = deltas.localCheckpoint()
     counts.unpersist()
     return NBModel(
         labels=labels,
