@@ -137,42 +137,76 @@ def incremental_minhash_flags(
     whose build side is the batch's band keys.
 
     ``persist_bands`` caches the batch's band table (MEMORY_AND_DISK,
-    n_bands rows/doc of (docid, band, band_key)): it has TWO consumers —
-    the store probe's broadcast side and the within-batch bucket-min
-    window — which share no exchange, so without the cache the whole
-    shingle→minhash signature pipeline (the dominant CPU cost) runs
-    twice. Freed by Spark's ContextCleaner with the frame.
+    n_bands rows/doc of (docid, band, band_key)): it has THREE consumers —
+    the touched-bucket distinct, the per-bucket store-min join, and the
+    within-batch bucket-min window — which share no exchange, so without
+    the cache the whole shingle→minhash signature pipeline (the dominant
+    CPU cost) runs three times. Freed by Spark's ContextCleaner with the
+    frame.
 
-    r5 serial-fraction fix: the within-batch verdict was a broadcast of
-    the per-bucket min table back onto the bands — a batch-bands-sized
-    relation (n_bands rows/doc) BUILT SINGLE-THREADED on the driver, a
-    serial cost that does not shrink with executor count (measured as the
-    bulk of the 0.789 2→8 efficiency gap). It is now a window aggregate
-    over ``partitionBy(band, band_key)`` on the bands themselves — one
-    parallel batch-sized exchange, no driver-built relation, one fewer
-    consumer of the persisted bands. The STORE probe keeps its broadcast:
-    that build side is the same batch-sized table, but the alternative
-    there would shuffle the (much larger) store, which is the design's
-    whole point to avoid."""
+    r5 hot-bucket fix: the store probe used to join the store against the
+    batch's full (docid, band, band_key) table and aggregate the COLLISION
+    PAIRS — an O(store_bucket × batch_bucket) pair enumeration inside every
+    bucket, the exact degeneracy ``minhash_pairs`` guards with
+    ``max_bucket``. On a dup-heavy corpus that explodes (measured: 6M store
+    rows × 2M batch rows → 1.17e9 joined rows at 1M docs, 2→8 scaling 0.51
+    on the probe half — straggler-bound by the hottest buckets; a 100 TB
+    boilerplate cluster would be catastrophically worse). The probe now
+    aggregates BEFORE batch docids enter: (1) the store semi-joins the
+    batch's docid-free bucket set, (2) the two smallest DISTINCT store
+    docids per bucket come from a dense_rank≤2 window — Spark's
+    WindowGroupLimit prunes each map partition to those rows BEFORE the
+    exchange, so the shuffled volume is O(touched buckets × mappers),
+    independent of bucket heat — and (3) that one-row-per-bucket table
+    joins the bands map-side. Two mins (not one) preserve the replay-safety
+    guard exactly: after a crash between a streaming batch's store append
+    and its checkpoint commit, the replayed batch probes a store holding
+    its own survivors, and "min store docid ≠ the doc itself" is m1 unless
+    m1 IS the doc, in which case it is the second-distinct m2.
+
+    Broadcast regime: every build side is batch-bounded (touched buckets,
+    per-bucket mins, per-doc matches ≤ n_bands rows/doc resp. 1 row/doc) —
+    the nightly contract is "one day's batch fits the driver; the store
+    never shuffles". The within-batch verdict is a window aggregate over
+    ``partitionBy(band, band_key)`` on the bands themselves (one parallel
+    batch-sized exchange, no driver-built relation)."""
+    from pyspark.sql.window import Window
+
     bands = minhash_bands(new_docs, num_hashes, band_size, shingle_k, content_col)
     if persist_bands:
         from pyspark import StorageLevel
 
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # store probe: stream the store once against a broadcast of the batch
-    # keys; only collision rows (tiny) survive to the aggregation shuffle.
-    # The docid != new_docid guard is the replay-safety valve: after a
-    # crash between a streaming batch's store append and its checkpoint
-    # commit, the replayed batch probes a store that already contains its
-    # own survivors — without the guard every survivor would match itself.
-    probe = bands.select(F.col("docid").alias("new_docid"), "band", "band_key")
+    # (1) buckets the batch touches — docid-free, distinct (partial-agg
+    # collapses hot buckets map-side before the exchange).
+    touched = bands.select("band", "band_key").distinct()
+    # (2) store rows in touched buckets: ≤ one output row per store row —
+    # the store streams once, no pair fanout. dense_rank ≤ 2 keeps the two
+    # smallest DISTINCT docids per bucket (WindowGroupLimit prunes map-side);
+    # the agg collapses them to (m1, m2) with m2 NULL for single-doc buckets.
+    hits = store_bands.join(F.broadcast(touched), ["band", "band_key"])
+    w2 = Window.partitionBy("band", "band_key").orderBy("docid")
+    m12 = (
+        hits.withColumn("_rk", F.dense_rank().over(w2))
+        .filter(F.col("_rk") <= 2)
+        .groupBy("band", "band_key")
+        .agg(
+            F.min("docid").alias("_m1"),
+            F.when(F.max("docid") > F.min("docid"), F.max("docid")).alias("_m2"),
+        )
+    )
+    # (3) per new doc: min over its buckets of "smallest store docid that
+    # isn't the doc itself" — m1 unless m1 == docid (replay), then m2.
+    eff = F.when(F.col("_m1") != F.col("docid"), F.col("_m1")).otherwise(
+        F.col("_m2")
+    )
     store_match = (
-        store_bands.join(F.broadcast(probe), ["band", "band_key"])
-        .filter(F.col("docid") != F.col("new_docid"))
-        .groupBy("new_docid")
-        .agg(F.min("docid").alias("store_match"))
-        .withColumnRenamed("new_docid", "docid")
+        bands.join(F.broadcast(m12), ["band", "band_key"])
+        .select("docid", eff.alias("_eff"))
+        .filter(F.col("_eff").isNotNull())
+        .groupBy("docid")
+        .agg(F.min("_eff").alias("store_match"))
     )
 
     # within-batch: per-bucket min docid as a WINDOW aggregate on the
@@ -180,8 +214,6 @@ def incremental_minhash_flags(
     # relation); a doc is a within-batch dup iff some bucket it sits in
     # has a smaller min — and that min is the smallest batch doc sharing
     # ANY band.
-    from pyspark.sql.window import Window
-
     wb = Window.partitionBy("band", "band_key")
     batch_match = (
         bands.withColumn("m", F.min("docid").over(wb))
