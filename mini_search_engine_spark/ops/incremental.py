@@ -15,16 +15,21 @@ re-deriving its signatures. Two persisted stores make that possible:
   ``streaming.incremental_dedup_stream`` relies on for crash-replay.
 
 Scale shape — the batch is small relative to the store (one day's crawl vs
-years of corpus), so every batch↔store comparison BROADCASTS the batch side
-and STREAMS the store exactly once:
+years of corpus), so every batch↔store comparison BROADCASTS a batch-bounded
+build side and STREAMS the store exactly once:
 
-    matched = store ⋈_BroadcastHashJoin broadcast(batch keys)   # tiny output
-    flags   = batch ⟕ broadcast(matched aggregates)
+    hits  = store ⋈_BroadcastHashJoin broadcast(batch bucket keys)
+    m12   = two smallest distinct store docids per bucket
+            (dense_rank≤2 window — WindowGroupLimit prunes map-side, so the
+            exchange is O(touched buckets), independent of bucket heat)
+    flags = batch bands ⋈ broadcast(m12), then min per doc
 
-The store is never shuffled, never sorted, never collected. The only
-Exchanges in the plan move batch-derived rows (signature aggregation and the
-collision rows, both ≪ store). Appending a deduped batch's signatures is a
-partitioned parquet append — no rewrite of existing store files.
+The store is never shuffled globally, never sorted, never collected, and —
+critically — store and batch docids are never PAIRED inside a bucket: every
+per-bucket reduction happens before batch docids enter the plan, so a hot
+boilerplate bucket costs a count, not a cross product. Appending a deduped
+batch's signatures is a partitioned parquet append — no rewrite of existing
+store files.
 
 Semantics (mirrors the DuckDB oracle in ``__spark_entry__.py``):
 * ``store_match``  = min store docid sharing ≥1 LSH band with the new doc
