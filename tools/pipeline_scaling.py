@@ -5,7 +5,7 @@ cores; throughput at both + efficiency.
 
 Usage: python tools/pipeline_scaling.py [n_docs] [n_lo] [rounds] [ops] [gen]
        (defaults 1_000_000 docs, 2→8 cores, 2 interleaved rounds,
-       ops = comma list from {lm,curate,incr} (default lm,curate),
+       ops = comma list from {lm,curate,incr,nb,ann} (default lm,curate),
        gen = fast | zipf corpus generator)
 
 Generator choice matters for CURATE's invariant: the uniform `fast`
@@ -31,6 +31,16 @@ Config notes:
   dedup, min_doc_tokens=45 (doc lengths are 30..90 — splits the corpus),
   decontamination vs the docid%101==0 slice, 90% hash sample. The
   survivor count is the cross-level invariant.
+* nb times the self-train nb_classify job (train = one groupBy(label,
+  token) + pivot, score = one broadcast model join + one groupBy(docid));
+  min_count=5 bounds the model the way a hashed-vocab deployment would.
+  Invariant: (docs scored, correct predictions).
+* ann times the IVFADC ENCODE job — the nightly build step of a
+  billion-scale ANN index: one Arrow pass doing coarse assignment +
+  residual PQ codes over dim-64 vectors (seeded quantizers, 64 lists,
+  m=8 codebooks), nothing shuffles. Vectors are generated ONCE by the
+  parent (hash-derived from vec_id, Catalyst-native) so every level
+  encodes identical input. Invariant: (n, Σ ivf_list, Σ codes[0]).
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORPUS = os.path.join(tempfile.gettempdir(), "pipeline_scaling_corpus")
 STORE = os.path.join(tempfile.gettempdir(), "pipeline_scaling_store")
+VECS = os.path.join(tempfile.gettempdir(), "pipeline_scaling_vecs")
 
 
 def child(cpus: int, ops: str = "lm,curate") -> None:
@@ -118,8 +129,40 @@ def child(cpus: int, ops: str = "lm,curate") -> None:
         ).collect()[0]
         return int(row["n"]), int(row["d"])
 
+    def run_nb():
+        from mini_search_engine_spark.ops import nb_classify
+
+        out = nb_classify(docs, label_col="lang", min_count=5)
+        row = out.agg(
+            F.count("*").alias("n"), F.sum(F.col("correct").cast("long")).alias("c")
+        ).collect()[0]
+        return int(row["n"]), int(row["c"])
+
+    def run_ann():
+        from mini_search_engine_spark.ops import ivfadc_encode
+        from mini_search_engine_spark.ops.ivfadc import seeded_centroids
+        from mini_search_engine_spark.ops.pq import seeded_codebooks
+
+        enc = ivfadc_encode(
+            spark.read.parquet(VECS),
+            seeded_centroids(n_lists=64, dim=64),
+            seeded_codebooks(m=8, k=16, sub=8),
+        )
+        row = enc.agg(
+            F.count("*").alias("n"),
+            F.sum("ivf_list").alias("l"),
+            F.sum(F.element_at("codes", 1)).alias("c0"),
+        ).collect()[0]
+        return int(row["n"]), int(row["l"]), int(row["c0"])
+
     results = {}
-    for name, fn in (("lm", run_lm), ("curate", run_curate), ("incr", run_incr)):
+    for name, fn in (
+        ("lm", run_lm),
+        ("curate", run_curate),
+        ("incr", run_incr),
+        ("nb", run_nb),
+        ("ann", run_ann),
+    ):
         if name not in wanted:
             continue
         fn()  # full untimed warm run (JIT + codegen + footer reads)
@@ -158,6 +201,24 @@ def main() -> None:
         )
         shutil.rmtree(STORE, ignore_errors=True)
         write_minhash_store(docs.filter(F.col("docid") % 4 != 0), STORE)
+    if "ann" in ops_arg.split(","):
+        # hash-derived dim-64 unit-scale vectors, Catalyst-native, written
+        # once so both levels encode byte-identical input
+        from pyspark.sql import functions as F
+
+        shutil.rmtree(VECS, ignore_errors=True)
+        (
+            spark.range(n_docs, numPartitions=128)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(0, 63), j ->"
+                    " (pmod(hash(id * 64 + j), 2001) - 1000) / 1000.0)"
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(VECS)
+        )
     spark.stop()
 
     def run(cpus: int) -> dict:
@@ -198,6 +259,7 @@ def main() -> None:
     print(json.dumps(out))
     shutil.rmtree(CORPUS, ignore_errors=True)
     shutil.rmtree(STORE, ignore_errors=True)
+    shutil.rmtree(VECS, ignore_errors=True)
 
 
 if __name__ == "__main__":
