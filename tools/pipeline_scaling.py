@@ -5,7 +5,7 @@ cores; throughput at both + efficiency.
 
 Usage: python tools/pipeline_scaling.py [n_docs] [n_lo] [rounds] [ops] [gen]
        (defaults 1_000_000 docs, 2→8 cores, 2 interleaved rounds,
-       ops = comma list from {lm,curate,incr,nb,ann} (default lm,curate),
+       ops = comma list from {lm,curate,incr,nb,ann,mh} (default lm,curate),
        gen = fast | zipf corpus generator)
 
 Generator choice matters for CURATE's invariant: the uniform `fast`
@@ -138,6 +138,19 @@ def child(cpus: int, ops: str = "lm,curate") -> None:
         ).collect()[0]
         return int(row["n"]), int(row["c"])
 
+    def run_mh():
+        # the headline-suite dedup op: MinHash signatures -> banded LSH ->
+        # intra-bucket pair enumeration (one groupBy downstream of the
+        # signatures, max_bucket guard on degenerate buckets)
+        from mini_search_engine_spark.ops import minhash_candidate_pairs
+
+        out = minhash_candidate_pairs(docs, max_bucket=256)
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("docid_a") + F.col("docid_b")).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"])
+
     def run_ann():
         from mini_search_engine_spark.ops import ivfadc_encode
         from mini_search_engine_spark.ops.ivfadc import seeded_centroids
@@ -162,6 +175,7 @@ def child(cpus: int, ops: str = "lm,curate") -> None:
         ("incr", run_incr),
         ("nb", run_nb),
         ("ann", run_ann),
+        ("mh", run_mh),
     ):
         if name not in wanted:
             continue
