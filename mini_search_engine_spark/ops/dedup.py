@@ -121,24 +121,116 @@ def minhash_signatures(
     """→ (docid, sig: array<long>) — sig[j] = min over shingles of
     md5_long(j || '|' || shingle).
 
-    Design note (measured, r5): the tempting zero-shuffle alternative —
-    16× ``array_min(transform(shingles, s -> hash(j|s)))`` within the row —
-    is 8× SLOWER at sf0.1 (52.6 s vs 7.6 s warm, local[16]): higher-order-
-    function lambdas evaluate interpreted per element, while this
-    explode → hash → groupBy(docid) pipeline stays whole-stage-codegen'd
-    with map-side partial mins, so the exchange carries only 16 longs per
-    (docid, partition). An ~10% md5→xxhash64 swap was also measured and
-    rejected — the kernel is explode/agg-bound, not hash-bound, and md5
-    keeps the DuckDB oracle bit-exact."""
-    sh = docs.select("docid", F.explode(shingles(F.col(content_col), shingle_k)).alias("sh"))
-    aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    per_doc = sh.groupBy("docid").agg(*aggs)
-    return per_doc.select(
-        "docid", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    Implementation (r6, measured): ONE ``mapInArrow`` pass computing each
+    doc's full signature within the row — zero shuffle, zero explode. The
+    r5 Catalyst pipeline (explode → 16× jvm md5 → groupBy(docid) partial
+    mins) spent 1.7 s materializing the interpreted higher-order shingle
+    transform and 1.4 s on 16 md5 evaluations per shingle occurrence at
+    sf1.0 (noop-isolated, local[32]); the kernel removes both: shingles
+    are built with plain str slicing, and a per-task memo (shingle → the
+    ``num_hashes`` 60-bit values) collapses the md5 cost to one set per
+    DISTINCT shingle — natural-language shingle streams repeat heavily, so
+    the md5 count drops by the corpus' shingle reuse factor. Per-doc mins
+    are one vectorized ``np.minimum.reduceat``. The memo is capped (512k
+    entries ≈ 80 MB); overflow shingles are hashed uncached into per-batch
+    scratch rows, so a 100 TB high-entropy corpus degrades to the r5 md5
+    cost, never to unbounded worker memory. Semantics are bit-identical to
+    the Catalyst form (same Java-``\\s`` token split, python ``str.lower``
+    = Java full Unicode lowercasing — the build kernel's established
+    parity — and md5-prefix mins commute with the 4-bit truncation since
+    ``x >> 4`` is monotone); the DuckDB oracle reproduces it unchanged.
+    (An ~10% md5→xxhash64 swap was measured and rejected in r5 — md5
+    keeps the oracle bit-exact.)"""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("docid", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
     )
+    src = docs.select("docid", F.col(content_col).alias("content"))
+    k = int(shingle_k)
+    nh = int(num_hashes)
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        prefixes = [f"{j}|".encode() for j in range(nh)]
+        # Java regex \s (no UNICODE_CHARACTER_CLASS) — exactly these five
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+        memo: dict = {}
+        MEMO_CAP = 1 << 19
+        H = np.empty((4096, nh), dtype=np.int64)
+        H[0] = 0  # permanent dummy row for null-content docs (masked out)
+        h_len = 1  # committed rows: dummy + memoized; scratch rows follow
+
+        def hash_row(sb: bytes):
+            return [
+                int.from_bytes(md5(p + sb).digest()[:8], "big") >> 4
+                for p in prefixes
+            ]
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            docids = rb.column("docid")
+            texts = rb.column("content").to_pylist()
+            codes: list = []
+            counts = np.empty(len(texts), dtype=np.int64)
+            null_doc = np.zeros(len(texts), dtype=bool)
+            cur = h_len
+            for i, c in enumerate(texts):
+                if c is None:
+                    # Catalyst parity: null content → all-null sig
+                    null_doc[i] = True
+                    counts[i] = 1
+                    codes.append(0)
+                    continue
+                toks = [t for t in ws.split(c.lower()) if t]
+                n = len(toks)
+                if n >= k:
+                    shs = [" ".join(toks[i2 : i2 + k]) for i2 in range(n - k + 1)]
+                else:
+                    shs = [" ".join(toks)]
+                counts[i] = len(shs)
+                for s in shs:
+                    code = memo.get(s)
+                    if code is None:
+                        if cur >= H.shape[0]:
+                            H2 = np.empty((H.shape[0] * 2, nh), dtype=np.int64)
+                            H2[: H.shape[0]] = H
+                            H = H2
+                        H[cur] = hash_row(s.encode())
+                        code = cur
+                        if len(memo) < MEMO_CAP:
+                            memo[s] = code
+                            h_len = cur + 1
+                        cur += 1
+                    codes.append(code)
+            code_arr = np.fromiter(codes, dtype=np.int64, count=len(codes))
+            m = H[code_arr]
+            starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            flat = mins.ravel()
+            offsets = pa.array(
+                (np.arange(len(texts) + 1, dtype=np.int64) * nh).astype(np.int32)
+            )
+            if null_doc.any():
+                vmask = np.repeat(null_doc, nh)
+                values = pa.array(flat, pa.int64(), mask=vmask)
+            else:
+                values = pa.array(flat, pa.int64())
+            sig = pa.ListArray.from_arrays(offsets, values)
+            yield pa.RecordBatch.from_arrays([docids, sig], ["docid", "sig"])
+
+    return src.mapInArrow(kernel, schema=schema)
 
 
 def minhash_bands(
