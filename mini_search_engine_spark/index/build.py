@@ -1142,11 +1142,16 @@ def build_index(
     # stamped here so every downstream group/sort/shuffle keys on ints.
     from mini_search_engine_spark.index.termid import term_id_col
 
-    tf = (
-        tokenize_docs(docs, analyzer=analyzer, positional=positional)
-        .withColumn("tid", term_id_col(F.col("term")))
-        .persist()
+    native = analyzer in ("porter", "punct_nostem", "naive", "code")
+    tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).withColumn(
+        "tid", term_id_col(F.col("term"))
     )
+    # persist only when a second consumer exists (collision check, or the
+    # tf-derived doclens of non-native analyzers): with a single consumer
+    # (the postings aggregation) the cache write is pure overhead (r6).
+    tf_multi = check_tid_collisions or not native
+    if tf_multi:
+        tf = tf.persist()
 
     if local_blocks:
         # shuffle-free path for NON-porter analyzers: partition-local
@@ -1216,14 +1221,24 @@ def build_index(
     # groupBy(docid) shuffles every posting row and whose left join added a
     # second (flat, non-scaling) job to every index write. Non-native
     # analyzers fall back to the tf derivation.
-    if analyzer in ("porter", "punct_nostem", "naive", "code"):
+    if native:
         doclens = doc_lengths(docs, analyzer)
+        # total tokens from the doclens scan, NOT a tf aggregation: the tf
+        # agg pays the full Arrow tokenize pass as its own sequential job,
+        # while the doclens sum is the same number (Σ tf ≡ Σ dl — the same
+        # 1:1 invariant the fused path and doclens itself already rely on)
+        # from a narrow pure-JVM scan (r6: one fewer tokenize-pass job on
+        # the build critical path; the postings write materializes the
+        # token stream itself).
+        total_tokens = (
+            doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
+        )
     else:
         dl_nonzero = tf.groupBy("docid").agg(F.max("dl").alias("dl"))
         doclens = (
             docs.select("docid").join(dl_nonzero, "docid", "left").na.fill(0, ["dl"])
         )
-    total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
+        total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     if check_tid_collisions:
@@ -1291,17 +1306,20 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
     # The (tid, block) aggregation already hash-distributed the rows; a
     # partition-local sort is enough for tid-predicate row-group pruning —
     # re-shuffling GBs of posting arrays would double the write cost.
-    (
-        index.postings.sortWithinPartitions("tid", "block")
-        .write.mode(mode)
-        .parquet(f"{path}/postings")
-    )
-    # doclens + termstats are small sidecar tables whose jobs are
-    # latency-bound, not throughput-bound; submit them concurrently
-    # (separate driver threads → overlapping jobs) AFTER the postings write
-    # has materialized the postings/tf caches both depend on, so neither
-    # recomputes shared lineage.
+    #
+    # Job overlap (guide §2.6): doclens depends only on the corpus, so its
+    # write runs CONCURRENTLY with the postings write (its tasks back-fill
+    # the postings job's tail). termstats aggregates the postings frame, so
+    # it still waits for the postings write to materialize the postings/tf
+    # caches — submitting it earlier would recompute the whole pipeline.
     from concurrent.futures import ThreadPoolExecutor
+
+    def _w_postings():
+        (
+            index.postings.sortWithinPartitions("tid", "block")
+            .write.mode(mode)
+            .parquet(f"{path}/postings")
+        )
 
     def _w_doclens():
         index.doclens.sortWithinPartitions("docid").write.mode(mode).parquet(
@@ -1312,8 +1330,9 @@ def write_index(index: InvertedIndex, path: str, mode: str = "overwrite") -> Non
         index.termstats.write.mode(mode).parquet(f"{path}/termstats")
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for fut in [pool.submit(_w_doclens), pool.submit(_w_termstats)]:
+        for fut in [pool.submit(_w_postings), pool.submit(_w_doclens)]:
             fut.result()
+    _w_termstats()
     # scalar metadata as a JSON sidecar through the Hadoop FileSystem API —
     # a one-row Spark write is a whole extra job (+task +file commit) per
     # build; a single small PUT on the index's own filesystem is enough.

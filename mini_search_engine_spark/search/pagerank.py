@@ -334,7 +334,12 @@ def hits(
     _ckpts: list[DataFrame] = []  # intermediate checkpoint blocks to free
 
     def _half_step(
-        scores: DataFrame, score_col: str, join_on: str, group_on: str, out_col: str
+        scores: DataFrame,
+        score_col: str,
+        join_on: str,
+        group_on: str,
+        out_col: str,
+        checkpoint: bool,
     ) -> DataFrame:
         msgs = (
             e.join(scores.withColumnRenamed("docid", join_on), join_on)
@@ -345,8 +350,9 @@ def hits(
         raw = nodes.join(msgs, "docid", "left").select(
             "docid", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
         )
-        raw = raw.localCheckpoint()  # eager: truncate lineage, 1 job
-        _ckpts.append(raw)
+        if checkpoint:
+            raw = raw.localCheckpoint()  # eager: truncate lineage, 1 job
+            _ckpts.append(raw)
         nrm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("nrm"))
         return raw.crossJoin(F.broadcast(nrm)).select(
             "docid",
@@ -359,8 +365,13 @@ def hits(
     auth = hub  # overwritten on the first half-step (num_iter >= 1)
     for _ in range(num_iter):
         # auth(p) = Σ_{q→p} hub(q);  hub(p) = Σ_{p→q} auth(q)
-        auth = _half_step(hub, "hub", "src", "dst", "authority")
-        hub = _half_step(auth, "authority", "dst", "src", "hub")
+        # Checkpoint cadence A/B (r6): one checkpoint per FULL iteration
+        # (auth half lazy) was measured 5.7 s vs 3.5 s for hits_3it at
+        # sf1.0 local[32] — the lazy auth sub-plan recomputes inside the
+        # hub checkpoint job and again in the final join, costing more
+        # than the saved driver round trip. Per-half-step stays.
+        auth = _half_step(hub, "hub", "src", "dst", "authority", checkpoint=True)
+        hub = _half_step(auth, "authority", "dst", "src", "hub", checkpoint=True)
     out = auth.join(hub, "docid").select("docid", "authority", "hub")
     out = out.localCheckpoint()  # pin the result, then release everything
     # eagerly free the 2·num_iter intermediate O(|V|) checkpoint blocks —

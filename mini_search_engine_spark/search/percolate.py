@@ -92,17 +92,34 @@ def _routing_df(
 
 
 def _collect_query_sets(queries: DataFrame, analyzer: str) -> list[tuple[int, list[str]]]:
-    """ONE compact job: (qid, query) → [(qid, distinct analyzed terms)]
-    collected driver-side. nterms/vocabulary derive in Python — no window,
-    no second execution of the query-side plan."""
-    q = queries.select(F.col("qid").alias("docid"), F.col("query").alias("content"))
-    rows = (
-        tokenize_docs(q, analyzer)
-        .groupBy(F.col("docid").alias("qid"))
-        .agg(F.collect_set("term").alias("qset"))
-        .collect()
-    )
-    return [(r["qid"], r["qset"]) for r in rows]
+    """(qid, query) → [(qid, distinct analyzed terms)], analyzed DRIVER-side.
+
+    The stored-query set is driver-bounded by contract (it broadcasts), so
+    the raw rows are collected with one plain job and analyzed with
+    ``analyze_query`` — semantics identical to the ``tokenize_docs``
+    kernel by that function's contract. The r5 shape shipped the handful
+    of query strings through the full mapInArrow tokenize pipeline plus a
+    groupBy — a whole Python-worker job on the one-shot compile path
+    (~0.4 s of the percolate_8q wall at sf1.0) for rows that fit in a
+    driver loop. Queries that analyze to zero terms (incl. NULL /
+    unbreakable word-break input, which the kernel maps to zero tokens)
+    are dropped exactly as before: absent from the routing index, they
+    never match."""
+    from mini_search_engine_spark.analysis.tokenizers import WordBreakError
+    from mini_search_engine_spark.analysis.udfs import analyze_query
+
+    out: list[tuple[int, list[str]]] = []
+    for r in queries.select("qid", "query").collect():
+        q = r["query"]
+        if q is None:
+            continue
+        try:
+            toks = analyze_query(q, analyzer)
+        except WordBreakError:
+            continue
+        if toks:
+            out.append((r["qid"], sorted(set(toks))))
+    return out
 
 
 class Percolator:

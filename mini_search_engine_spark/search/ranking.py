@@ -236,6 +236,7 @@ def bm25_topk(
     topk: int = 10,
     prune: bool = False,
     prune_min_blocks: int = 64,
+    prune_min_postings: int = 5_000_000,
 ) -> DataFrame:
     """BM25 top-k → (docid, score) descending, ties by ascending docid."""
     # The fused-cold path recovers df as sum(n) over the term's posting
@@ -276,7 +277,30 @@ def bm25_topk(
 
             threading.Thread(target=_fill, daemon=True).start()
             return _bm25_topk_fused_cold(index, counts, topk)
-    rows = _bm25_qvec(index, keywords)
+    if prune:
+        # cost-based fallback #2 (r6, measured): the two-phase pruned path
+        # pays 3 extra sequential driver round trips (~0.3 s each on this
+        # box) before the final job; its benefit is the fraction of the
+        # query terms' postings it never decodes. The exact path's marginal
+        # cost is decode+score of Σ df(term) postings, so below a postings
+        # budget there is nothing worth skipping: sf1.0 local[32] A/B —
+        # pruned 1.35 s vs exact 0.42 s at Σ df ≈ 10⁵. The dfs are already
+        # driver-side (the _df_map probe the qvec needs anyway), so the
+        # gate is pure driver arithmetic; at real scale common terms carry
+        # df ≫ the budget and pruning stays on.
+        counts = _analyzed_with_counts(index, keywords)
+        if not counts:
+            return _empty_scored(index)
+        dfm = _df_map(index, sorted(counts))
+        rows = [
+            (term_id_py(t), float(counts[t]), _bm25_idf(index.n_docs, dfm[t]))
+            for t in sorted(counts)
+            if dfm.get(t)
+        ] or None
+        if sum(dfm.get(t) or 0 for t in counts) < prune_min_postings:
+            prune = False
+    else:
+        rows = _bm25_qvec(index, keywords)
     if rows is None:
         return _empty_scored(index)
     spark = index.postings.sparkSession

@@ -159,12 +159,15 @@ def test_bm25_rank_identical_to_oracle(index, corpus, tiny_corpus):
 def test_bm25_pruned_matches_exact(index):
     for query in (["cat", "dog"], ["inform", "fox"], ["stem"]):
         exact = [(r["docid"], round(r["score"], 9)) for r in bm25_topk(index, query, topk=3).collect()]
-        # prune_min_blocks=0 forces the true two-phase block-max path even
-        # on this tiny fixture (the default cost-based fallback would pick
-        # the exact plan below 64 blocks)
+        # prune_min_blocks=0 / prune_min_postings=0 force the true
+        # two-phase block-max path even on this tiny fixture (both
+        # cost-based fallbacks would pick the exact plan here)
         pruned = [
             (r["docid"], round(r["score"], 9))
-            for r in bm25_topk(index, query, topk=3, prune=True, prune_min_blocks=0).collect()
+            for r in bm25_topk(
+                index, query, topk=3, prune=True,
+                prune_min_blocks=0, prune_min_postings=0,
+            ).collect()
         ]
         assert exact == pruned
 
