@@ -97,38 +97,49 @@ def nb_train(
             .filter(F.col("_tot") >= min_count)
             .select("token")
         )
+        # the keep branch shares the (label, token) aggregation exchange
+        # with the main branch — ReuseExchange dedups it inside the pivot
+        # job, so no persist is needed
         counts = counts.join(keep, "token", "left_semi")
-    counts = counts.persist()
 
-    # Bounded collects: L rows, L rows, 1 row, 1 row.
+    # Bounded collect: L rows (a cheap docs scan — no tokens touched).
     label_docs = {
         r["_y"]: r["n"]
         for r in labeled.groupBy(F.col(label_col).alias("_y")).agg(F.count("*").alias("n")).collect()
     }
     labels = sorted(label_docs)
-    totals = {r["_y"]: r["t"] for r in counts.groupBy("_y").agg(F.sum("count").alias("t")).collect()}
-    vocab_size = counts.select("token").distinct().count()
     n_docs = sum(label_docs.values())
+
+    # ONE heavy job (r6): pivot the RAW counts one-row-per-token and
+    # checkpoint that — per-label token totals and the vocabulary size are
+    # then a single bounded agg over the checkpointed (vocab × L) table,
+    # where the r5 shape ran three sequential corpus-cache jobs (totals
+    # agg, distinct-vocab count, pivot). The ln(c+1) deltas derive lazily
+    # from the same checkpoint, so values are unchanged. Pivot is safe: L
+    # is small (it's a label set, not a key space). The checkpoint also
+    # truncates lineage, so the model a caller holds onto stays a bounded
+    # table, not a corpus-sized DAG.
+    pivoted = counts.groupBy("token").pivot("_y", labels).agg(
+        F.sum("count")
+    ).localCheckpoint()
+    tot_row = pivoted.agg(
+        F.count("*").alias("_v"),
+        *[F.sum(F.col(f"`{y}`")).alias(f"_t{i}") for i, y in enumerate(labels)],
+    ).collect()[0]
+    vocab_size = int(tot_row["_v"])
+    totals = {
+        y: int(tot_row[f"_t{i}"] or 0) for i, y in enumerate(labels)
+    }
 
     priors = [math.log(label_docs[y] / n_docs) for y in labels]
     floors = [-math.log(totals.get(y, 0) + vocab_size) for y in labels]
 
-    # One row per token: dense array of ln(c+1) deltas in label order.
-    # Pivot is safe: L is small (it's a label set, not a key space).
-    pivoted = counts.groupBy("token").pivot("_y", labels).agg(F.sum("count"))
     deltas = pivoted.select(
         "token",
         F.array(
             *[F.log(F.coalesce(F.col(f"`{y}`"), F.lit(0)).cast("double") + F.lit(1.0)) for y in labels]
         ).alias("d"),
     )
-    # Materialize the (vocab × L) model table WHILE counts is still cached —
-    # deltas is lazy, and unpersisting first would make every later
-    # nb_score broadcast re-derive the corpus tokenize+count pipeline from
-    # scratch. localCheckpoint also truncates the lineage, so the model a
-    # caller holds onto stays a bounded table, not a corpus-sized DAG.
-    deltas = deltas.localCheckpoint()
-    counts.unpersist()
     return NBModel(
         labels=labels,
         priors=priors,

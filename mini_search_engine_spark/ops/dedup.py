@@ -419,24 +419,80 @@ def duplicate_spans(
 
 def _window_hash_rows(docs: DataFrame, window: int, content_col: str) -> DataFrame:
     """(docid, _n, start, h): one row per token position — a 60-bit
-    md5-prefix hash of each ``window``-token run (1-based starts). The
-    window transform is a within-row array op; no shuffle."""
-    toks = _tokens(F.col(content_col))
-    base = (
-        docs.select("docid", toks.alias("_toks"))
-        .withColumn("_n", F.size("_toks"))
-        .filter(F.col("_n") >= window)
+    md5-prefix hash of each ``window``-token run (1-based starts); docs
+    shorter than ``window`` tokens contribute nothing. No shuffle.
+
+    One ``mapInArrow`` pass (r6): the prior Catalyst form (interpreted
+    higher-order slice+join transform + explode + one jvm md5 per
+    position) dominated the duplicate-spans wall; here windows are plain
+    str slicing and a capped per-task memo (window string → md5 id)
+    dedups hash work on boilerplate-heavy streams. Same tokenizer parity
+    as the minhash kernel (Java-``\\s`` split, full-Unicode lower);
+    hashes identical to ``md5_long`` by construction."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("docid", T.LongType(), False),
+            T.StructField("_n", T.IntegerType(), False),
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("h", T.LongType(), False),
+        ]
     )
-    win_structs = F.transform(
-        F.sequence(F.lit(1), F.col("_n") - window + 1),
-        lambda i: F.struct(
-            i.alias("start"),
-            md5_long(F.array_join(F.slice(F.col("_toks"), i, window), " ")).alias("h"),
-        ),
-    )
-    return base.select("docid", "_n", F.explode(win_structs).alias("w")).select(
-        "docid", "_n", F.col("w.start").alias("start"), F.col("w.h").alias("h")
-    )
+    src = docs.select("docid", F.col(content_col).alias("content"))
+    w = int(window)
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+        memo: dict = {}
+        MEMO_CAP = 1 << 18
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            docids = rb.column("docid").to_pylist()
+            texts = rb.column("content").to_pylist()
+            o_doc: list = []
+            o_n: list = []
+            o_start: list = []
+            o_h: list = []
+            for d, c in zip(docids, texts):
+                toks = [t for t in ws.split((c or "").lower()) if t]
+                n = len(toks)
+                if n < w:
+                    continue
+                for i in range(n - w + 1):
+                    s = " ".join(toks[i : i + w])
+                    h = memo.get(s)
+                    if h is None:
+                        h = (
+                            int.from_bytes(md5(s.encode()).digest()[:8], "big")
+                            >> 4
+                        )
+                        if len(memo) < MEMO_CAP:
+                            memo[s] = h
+                    o_doc.append(d)
+                    o_n.append(n)
+                    o_start.append(i + 1)
+                    o_h.append(h)
+            if o_doc:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_doc, pa.int64()),
+                        pa.array(o_n, pa.int32()),
+                        pa.array(o_start, pa.int32()),
+                        pa.array(o_h, pa.int64()),
+                    ],
+                    ["docid", "_n", "start", "h"],
+                )
+
+    return src.mapInArrow(kernel, schema=schema)
 
 
 def _span_coverage(flagged: DataFrame, window: int, prefix: str) -> DataFrame:

@@ -86,8 +86,16 @@ def dsir_log_weights(
             for r in b_df.groupBy("b").agg(F.count("*").alias("c")).collect()
         }
 
-    cr = _counts(raw_b.select("b"))
-    ct = _counts(_bucketed(target_docs, content_col, [], buckets))
+    # the two bucket-count jobs are independent — run them concurrently
+    # (guide §2.6) so the smaller side's job back-fills the larger side's
+    # task tail instead of following it sequentially (r6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_raw = pool.submit(_counts, raw_b.select("b"))
+        f_tgt = pool.submit(_counts, _bucketed(target_docs, content_col, [], buckets))
+        cr = f_raw.result()
+        ct = f_tgt.result()
     tr, tt = float(sum(cr.values())), float(sum(ct.values()))
     ratio_rows = [
         (

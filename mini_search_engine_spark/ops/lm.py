@@ -85,17 +85,30 @@ def lm_train_bigram(
     ``counts.unpersist()``."""
     bg = _doc_bigrams(docs, content_col, [])
     counts = bg.groupBy("prev", "cur").count().withColumnRenamed("count", "c")
+    warm = None
     if persist_model:
         from pyspark import StorageLevel
 
         counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-    ctx = counts.groupBy("prev").agg(F.sum("c").alias("t"))
+        # overlap (guide §2.6): materialize the model cache on a driver
+        # thread WHILE the vocab job runs below — the two passes are
+        # independent, and running them sequentially left the cluster idle
+        # during each one's tail. Errors are not swallowed silently: any
+        # real corpus failure re-raises in the vocab job (same input), and
+        # a failed warm-up only leaves the cache cold, never wrong.
+        import threading
+
+        warm = threading.Thread(target=lambda: counts.count(), daemon=True)
+        warm.start()
     vocab_size = (
         docs.select(F.explode(_ws_tokens(F.col(content_col))).alias("tok"))
         .select("tok")
         .distinct()
         .count()
     )
+    if warm is not None:
+        warm.join()
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("t"))
     if min_count > 1:
         pruned = counts.filter(F.col("c") >= min_count)
     else:
