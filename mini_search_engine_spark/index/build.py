@@ -1200,19 +1200,11 @@ def build_index(
             cols.insert(7, F.transform("plist", lambda x: x["positions"]).alias("positions"))
         postings = agg.select(*cols)
         if compress:
-            postings = (
-                postings.withColumn("_enc", C.encode_block_udf("docids", "tfs", "dls"))
-                .withColumn("docids_bytes", F.col("_enc.docids_bytes"))
-                .withColumn("tfs_bytes", F.col("_enc.tfs_bytes"))
-                .withColumn("dls_bytes", F.col("_enc.dls_bytes"))
-                .drop("docids", "tfs", "dls", "_enc")
-            )
-            if positional:
-                # C4: position lists delta-varint encoded; tf array recovers
-                # the per-posting list boundaries at decode time
-                postings = postings.withColumn(
-                    "positions_bytes", C.encode_positions_udf("positions")
-                ).drop("positions")
+            # C4: position lists delta-varint encoded; tf array recovers
+            # the per-posting list boundaries at decode time. One
+            # mapInArrow pass over the ListArray buffers — no per-posting
+            # Python objects (see compress.encode_blocks_arrow).
+            postings = C.encode_blocks_arrow(postings, positional)
     full = postings.persist()
 
     # doclens: for analyzers with a native tokenizer the doc length is a

@@ -396,6 +396,83 @@ _DEC_SCHEMA = StructType(
 )
 
 
+def encode_blocks_arrow(df, positional: bool):
+    """Blocked-postings frame (…, docids, tfs, dls[, positions], …) → the
+    same frame with the array columns replaced by codec byte columns, via
+    ONE ``mapInArrow`` pass (r6).
+
+    The pandas-UDF encode path (``encode_block_udf`` +
+    ``encode_positions_udf``) pythonizes every posting: Arrow list columns
+    become object Series of Python lists (one list per row, one int object
+    per posting/position) before the numpy kernels ever run — measured
+    ~0.37 s of the sf1.0 exchange build for 5.7k rows / 1.1M postings.
+    Here the ListArray offset/value buffers feed ``encode_flat_segments``
+    directly (zero-copy numpy over the flat child arrays; offsets ARE the
+    segment boundaries), so no per-posting Python objects exist. Byte
+    output is identical — same per-segment delta+varint kernels.
+
+    Non-array columns pass through untouched; output column order is
+    (passthrough…, *_bytes) with the array columns dropped."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    arr_cols = ["docids", "tfs", "dls"] + (["positions"] if positional else [])
+    passthrough = [f for f in df.schema.fields if f.name not in arr_cols]
+    out_fields = [T.StructField(f.name, f.dataType, f.nullable) for f in passthrough]
+    out_fields += [
+        T.StructField("docids_bytes", T.BinaryType(), False),
+        T.StructField("tfs_bytes", T.BinaryType(), False),
+        T.StructField("dls_bytes", T.BinaryType(), False),
+    ]
+    if positional:
+        out_fields.append(T.StructField("positions_bytes", T.BinaryType(), False))
+    schema = T.StructType(out_fields)
+    pass_names = [f.name for f in passthrough]
+
+    def _segments(arr):
+        """ListArray → (flat int64 child values, starts, ends) with the
+        slice-offset handling of _blocked_postings_arrow.emit: offsets
+        values index the UNsliced child, so trim to the used range."""
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        base = int(offs[0])
+        flat = arr.values.to_numpy().astype(np.int64)[base : int(offs[-1])]
+        return flat, offs[:-1] - base, offs[1:] - base
+
+    def kernel(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            by_name = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            arrays = [by_name[n] for n in pass_names]
+            d_flat, d_s, d_e = _segments(by_name["docids"])
+            t_flat, t_s, t_e = _segments(by_name["tfs"])
+            l_flat, l_s, l_e = _segments(by_name["dls"])
+            arrays.append(pa.array(encode_flat_segments(d_flat, d_s, d_e, delta=True), pa.binary()))
+            arrays.append(pa.array(encode_flat_segments(t_flat, t_s, t_e, delta=False), pa.binary()))
+            arrays.append(pa.array(encode_flat_segments(l_flat, l_s, l_e, delta=False), pa.binary()))
+            if positional:
+                outer = by_name["positions"]
+                o_offs = outer.offsets.to_numpy().astype(np.int64)
+                inner = outer.values  # unsliced child list<int>
+                i_offs = inner.offsets.to_numpy().astype(np.int64)
+                pbase = int(i_offs[0])  # rebase so flat[0] is a segment start
+                p_flat = inner.values.to_numpy().astype(np.int64)[
+                    pbase : int(i_offs[-1])
+                ]
+                i_offs = i_offs - pbase
+                arrays.append(
+                    pa.array(
+                        encode_flat_segments_grouped(
+                            p_flat, i_offs[:-1], i_offs[1:], o_offs[:-1], o_offs[1:], delta=True
+                        ),
+                        pa.binary(),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_fields])
+
+    return df.mapInArrow(kernel, schema=schema)
+
+
 @F.pandas_udf(_ENC_SCHEMA)
 def encode_block_udf(docids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(

@@ -68,13 +68,33 @@ def search_and(index: InvertedIndex, keywords: list[str]) -> DataFrame:
     if any(not tl for tl in term_lists):
         return _empty_docids(index)  # reference `:941-945`
     terms = sorted({t for tl in term_lists for t in tl})
-    n = len(terms)
+    # conjunct coverage as a bit_or over a driver-assigned bit per term id:
+    # count_distinct(tid) planned as TWO exchanges (distinct on (docid,
+    # tid), then the per-docid count); the bit mask is a plain aggregate
+    # with map-side partials — ONE exchange, same docid set (r6). The
+    # query term count is tiny, so the chained-CASE bit literal matches
+    # the BM25 weight-literal convention.
+    tids = term_ids(terms)
+    if len(tids) > 63:  # bit mask is a long; huge conjunctions take the
+        return (  # two-exchange count_distinct path (correct at any arity)
+            _postings_for(index, terms)
+            .select("tid", F.explode("docids").alias("docid"))
+            .groupBy("docid")
+            .agg(F.count_distinct("tid").alias("nt"))
+            .filter(F.col("nt") == len(tids))
+            .select("docid")
+            .orderBy("docid")
+        )
+    bit = F.lit(0)
+    for i, tid in enumerate(tids):
+        bit = F.when(F.col("tid") == F.lit(tid), F.lit(1 << i)).otherwise(bit)
+    full = (1 << len(tids)) - 1
     return (
         _postings_for(index, terms)
-        .select("tid", F.explode("docids").alias("docid"))
+        .select(bit.alias("_bit"), F.explode("docids").alias("docid"))
         .groupBy("docid")
-        .agg(F.count_distinct("tid").alias("nt"))
-        .filter(F.col("nt") == n)
+        .agg(F.bit_or("_bit").alias("_m"))
+        .filter(F.col("_m") == full)
         .select("docid")
         .orderBy("docid")
     )
