@@ -53,14 +53,70 @@ def cosine_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return vectors.select(
-        F.col(id_col),
-        (
-            _dot(F.col(vec_col), q)
-            / (F.sqrt(_norm2(F.col(vec_col))) * F.sqrt(_norm2(q)))
-        ).alias("cosine"),
+    """(id, cosine) against one query vector — one vectorized
+    ``mapInArrow`` pass (r6). The Catalyst form evaluated the ``_dot`` /
+    ``_norm2`` folds interpreted per element (~0.17 s of the 0.28 s scan
+    at 20k×64, sf1.0) and re-derived the CONSTANT query norm per row.
+    Float parity with the fold (and the DuckDB oracle) is preserved
+    bit-for-bit: float32→float64 casts and per-element double multiplies
+    are identical, and ``np.cumsum``'s prefix sums ARE the fold's
+    sequential index-order additions — no pairwise/SIMD reassociation.
+    Rows whose vector is NULL or whose length ≠ len(query) yield NULL,
+    exactly as the null-padding ``zip_with`` fold did."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    id_field = vectors.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType, id_field.nullable),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    dim = len(qv)
+    if dim == 0:  # degenerate query: keep the Catalyst fold's exact NaN/null
+        q = F.array().cast("array<double>")
+        return vectors.select(
+            F.col(id_col),
+            (
+                _dot(F.col(vec_col), q)
+                / (F.sqrt(_norm2(F.col(vec_col))) * F.sqrt(_norm2(q)))
+            ).alias("cosine"),
+        )
+    # sqrt of the sequential sum of squares — same fold order driver-side
+    qn = float(np.sqrt(np.cumsum(qv * qv)[-1])) if dim else 0.0
+    src = vectors.select(id_col, vec_col)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            vecs = rb.column(1)
+            offs = vecs.offsets.to_numpy().astype(np.int64)
+            base = int(offs[0])
+            flat = vecs.values.to_numpy().astype(np.float64)[base : int(offs[-1])]
+            lens = offs[1:] - offs[:-1]
+            nulls = np.asarray(vecs.is_null())
+            valid = (~nulls) & (lens == dim)
+            out = np.empty(rb.num_rows, dtype=np.float64)
+            if valid.any():
+                starts = offs[:-1] - base
+                idx = (starts[valid, None] + np.arange(dim)[None, :]).ravel()
+                mat = flat[idx].reshape(-1, dim)
+                prod = mat * qv[None, :]
+                dots = np.cumsum(prod, axis=1)[:, -1] if dim else np.zeros(len(mat))
+                sq = mat * mat
+                n2 = np.cumsum(sq, axis=1)[:, -1] if dim else np.zeros(len(mat))
+                out[valid] = dots / (np.sqrt(n2) * qn)
+            cos = pa.array(out, pa.float64(), mask=~valid)
+            yield pa.RecordBatch.from_arrays([ids, cos], [id_field.name, "cosine"])
+
+    return src.mapInArrow(kernel, schema=schema)
 
 
 def cosine_topk(
