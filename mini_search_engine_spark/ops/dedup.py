@@ -268,12 +268,91 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """→ (docid_a, docid_b) distinct pairs (a < b) sharing ≥1 LSH band.
 
-    Pairs come from intra-bucket enumeration (``bucket_pairs``), not a
-    band-table self-join — one groupBy shuffle total downstream of the
-    signatures, and no cached intermediate."""
-    bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col)
-    return bucket_pairs(
-        bands, ["band", "band_key"], "docid", "docid_a", "docid_b", max_bucket
+    Pairs come from intra-bucket enumeration, not a band-table self-join —
+    one groupBy shuffle total downstream of the signatures, and no cached
+    intermediate.
+
+    Exact path (``max_bucket=None``, r6): each pair is emitted only from
+    the FIRST band in which the two docs collide — a bucket row carries
+    the doc's band-key *prefix* (bands 0..b-1, avg (n_bands-1)/2 longs),
+    and the intra-bucket enumeration skips a pair when any prefix entry
+    matches. Every qualifying pair is therefore produced exactly once, so
+    the trailing ``.distinct()`` — a full exchange of the O(pairs)
+    multiset, the largest shuffle of the op on dup-heavy corpora — is
+    unnecessary, and a downstream ``count()`` never shuffles a single
+    pair. The emitted SET is identical to the any-band formulation.
+
+    With ``max_bucket`` the original bucket-skip semantics apply ("any
+    NON-SKIPPED shared bucket"): first-band emission would drop a pair
+    whose first colliding band is a skipped degenerate bucket even when a
+    later small bucket contains it, so the capped path keeps the
+    ``bucket_pairs`` + distinct formulation unchanged."""
+    if max_bucket is not None:
+        bands = minhash_bands(docs, num_hashes, band_size, shingle_k, content_col)
+        return bucket_pairs(
+            bands, ["band", "band_key"], "docid", "docid_a", "docid_b", max_bucket
+        )
+    sigs = minhash_signatures(docs, num_hashes, shingle_k, content_col)
+    n_bands = num_hashes // band_size
+    keys = F.array(
+        *[
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * band_size + i].cast("string")
+                        for i in range(band_size)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = (
+        sigs.select("docid", keys.alias("_keys"))
+        .select("docid", F.posexplode("_keys").alias("band", "band_key"),
+                F.col("_keys"))
+        .select(
+            "docid",
+            "band",
+            "band_key",
+            F.slice("_keys", 1, F.col("band")).alias("prefix"),
+        )
+    )
+    buckets = (
+        keyed.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("docid", "prefix"))).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda y: ~F.exists(
+                                F.zip_with(
+                                    x["prefix"],
+                                    y["prefix"],
+                                    lambda p, q: p == q,
+                                ),
+                                lambda t: t,
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x["docid"].alias("a"), y["docid"].alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("docid_a"), F.col("p.b").alias("docid_b")
     )
 
 

@@ -59,6 +59,31 @@ def test_minhash_identical_docs_share_all_bands(dup_corpus):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_first_band_pairs_match_any_band_distinct(spark):
+    """r6 exact path: first-colliding-band emission must produce exactly the
+    distinct pair set of the any-band bucket_pairs formulation, with no
+    duplicate rows (exact dups collide in EVERY band, so the band-prefix
+    suppression is exercised 7 times per such pair)."""
+    from mini_search_engine_spark.ops.dedup import bucket_pairs, minhash_bands
+
+    rows = [(i, f"doc number {i % 7} the quick brown fox jumps over dog {i % 3}",
+             "en", "t", 0) for i in range(60)]
+    docs = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    ).cache()
+    new = minhash_candidate_pairs(docs)
+    old = bucket_pairs(
+        minhash_bands(docs), ["band", "band_key"], "docid", "docid_a", "docid_b"
+    )
+    n_new = new.count()
+    assert n_new == new.distinct().count()  # each pair emitted exactly once
+    assert n_new > 0
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_ngram_jaccard(dup_corpus):
     rows = ngram_jaccard_pairs(dup_corpus, threshold=0.3, band_size=2).collect()
     vals = {(r["docid_a"], r["docid_b"]): r["jaccard"] for r in rows}

@@ -75,6 +75,14 @@ def main():
         "minhash_pairs_before",
         bucket_pairs(old_minhash_bands(docs), ["band", "band_key"], "docid", "docid_a", "docid_b"),
     )
+    # mid-round formulation: Arrow signature kernel but still
+    # bucket_pairs + trailing distinct over the pair multiset
+    from mini_search_engine_spark.ops.dedup import minhash_bands
+
+    dump(
+        "minhash_pairs_mid_kernel_distinct",
+        bucket_pairs(minhash_bands(docs), ["band", "band_key"], "docid", "docid_a", "docid_b"),
+    )
     dump("minhash_pairs_after", minhash_candidate_pairs(docs))
 
     # ---- trigram gram rows ----
