@@ -1100,24 +1100,35 @@ def build_index(
     if block_span is None:
         block_span = auto_block_span(n_docs)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     if local_blocks and analyzer == "porter":
         # FUSED shuffle-free path over docid-range input partitions:
         # content → one Arrow pass → finished posting blocks (positions
         # included when positional — see _fused_blocked_postings). No tf
         # intermediate exists at all; doclens and avgdl come from the
         # native (JVM codegen) tokenizer scan, which is stemming-invariant.
-        full = _fused_blocked_postings(
-            docs, block_span, compress, positional=positional
-        ).persist()
+        # The doclens-sum (total_tokens) job runs on a driver thread
+        # CONCURRENT with the fused-plan construction and the optional
+        # collision-check job (guide §2.6) — it was a sequential ~0.2 s
+        # job on the build critical path (measured at sf0.1, local[32]).
         doclens = doc_lengths(docs, analyzer)
-        total_tokens = doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
-        if check_tid_collisions:
-            # on the PRE-aggregation frame: _termstats_of collapses to one
-            # row per tid (min(term)), which would make the check vacuous.
-            # The fused kernel's sparse dictionary emits every distinct
-            # string at least once per partition, so colliding terms both
-            # surface here even when they share a partition and block.
-            assert_no_tid_collisions(full.select("term", "tid"))
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _total_fut = _pool.submit(
+                lambda: doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0]
+                or 0
+            )
+            full = _fused_blocked_postings(
+                docs, block_span, compress, positional=positional
+            ).persist()
+            if check_tid_collisions:
+                # on the PRE-aggregation frame: _termstats_of collapses to one
+                # row per tid (min(term)), which would make the check vacuous.
+                # The fused kernel's sparse dictionary emits every distinct
+                # string at least once per partition, so colliding terms both
+                # surface here even when they share a partition and block.
+                assert_no_tid_collisions(full.select("term", "tid"))
+            total_tokens = _total_fut.result()
         return InvertedIndex(
             postings=full.drop("term"),
             doclens=doclens,
@@ -1143,6 +1154,20 @@ def build_index(
     from mini_search_engine_spark.index.termid import term_id_col
 
     native = analyzer in ("porter", "punct_nostem", "naive", "code")
+    # doclens for native analyzers is a pure-Catalyst narrow scan whose sum
+    # (total_tokens) is an independent job: submit it on a driver thread
+    # NOW so it overlaps the postings plan construction below (UDF closure
+    # pickling + persist bookkeeping, ~0.2 s driver-side) and, when
+    # enabled, the collision-check job (guide §2.6). It was a sequential
+    # ~0.2 s job on the build critical path (measured at sf0.1, local[32]:
+    # build_index 0.64-0.75 s → 0.37-0.48 s interleaved).
+    _total_pool = _total_fut = None
+    if native:
+        doclens = doc_lengths(docs, analyzer)
+        _total_pool = ThreadPoolExecutor(max_workers=1)
+        _total_fut = _total_pool.submit(
+            lambda: doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
+        )
     tf = tokenize_docs(docs, analyzer=analyzer, positional=positional).withColumn(
         "tid", term_id_col(F.col("term"))
     )
@@ -1212,33 +1237,30 @@ def build_index(
     # token count) — measured ~4× cheaper than deriving it from tf, whose
     # groupBy(docid) shuffles every posting row and whose left join added a
     # second (flat, non-scaling) job to every index write. Non-native
-    # analyzers fall back to the tf derivation.
-    if native:
-        doclens = doc_lengths(docs, analyzer)
-        # total tokens from the doclens scan, NOT a tf aggregation: the tf
-        # agg pays the full Arrow tokenize pass as its own sequential job,
-        # while the doclens sum is the same number (Σ tf ≡ Σ dl — the same
-        # 1:1 invariant the fused path and doclens itself already rely on)
-        # from a narrow pure-JVM scan (r6: one fewer tokenize-pass job on
-        # the build critical path; the postings write materializes the
-        # token stream itself).
-        total_tokens = (
-            doclens.agg(F.sum(F.col("dl").cast("long"))).collect()[0][0] or 0
-        )
-    else:
+    # analyzers fall back to the tf derivation. total_tokens comes from
+    # the doclens scan, NOT a tf aggregation (Σ tf ≡ Σ dl — the same 1:1
+    # invariant the fused path and doclens itself already rely on), and
+    # for native analyzers the job was submitted on a driver thread above.
+    if not native:
         dl_nonzero = tf.groupBy("docid").agg(F.max("dl").alias("dl"))
         doclens = (
             docs.select("docid").join(dl_nonzero, "docid", "left").na.fill(0, ["dl"])
         )
         total_tokens = tf.agg(F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    if check_tid_collisions:
-        # on the token frame, not the (tid, block)-aggregated postings: a
-        # same-block collision would be collapsed by that agg's min(term).
-        # count_distinct partial-aggregates to distinct (term, tid) pairs
-        # map-side, so this is a vocabulary-sized exchange, not a token one.
-        assert_no_tid_collisions(tf.select("term", "tid"))
+    try:
+        if check_tid_collisions:
+            # on the token frame, not the (tid, block)-aggregated postings: a
+            # same-block collision would be collapsed by that agg's min(term).
+            # count_distinct partial-aggregates to distinct (term, tid) pairs
+            # map-side, so this is a vocabulary-sized exchange, not a token one.
+            assert_no_tid_collisions(tf.select("term", "tid"))
+        if native:
+            total_tokens = _total_fut.result()
+    finally:
+        if _total_pool is not None:
+            _total_pool.shutdown()
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
     return InvertedIndex(
         postings=full.drop("term"),
         doclens=doclens,
