@@ -119,6 +119,14 @@ def nb_train(
     # is small (it's a label set, not a key space). The checkpoint also
     # truncates lineage, so the model a caller holds onto stays a bounded
     # table, not a corpus-sized DAG.
+    #
+    # Cluster caveat: localCheckpoint() stores blocks on executors without
+    # replication — losing an executor (decommission, dynamic allocation,
+    # OOM) after nb_train returns makes the deltas unrecoverable and fails
+    # later nb_score jobs, and the blocks stay pinned until the NBModel is
+    # released. Fine in local mode; a long-lived cluster deployment should
+    # swap in reliable checkpoint() (with spark.sparkContext.setCheckpointDir
+    # on durable storage) or persist the pivoted table to a table/path.
     pivoted = counts.groupBy("token").pivot("_y", labels).agg(
         F.sum("count")
     ).localCheckpoint()

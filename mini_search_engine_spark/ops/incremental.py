@@ -162,7 +162,12 @@ def incremental_minhash_flags(
     docids per bucket come from a dense_rank≤2 window — Spark's
     WindowGroupLimit prunes each map partition to those rows BEFORE the
     exchange, so the shuffled volume is O(touched buckets × mappers),
-    independent of bucket heat — and (3) that one-row-per-bucket table
+    independent of bucket heat (NOTE: WindowGroupLimit is a Spark 3.5+
+    optimizer rule gated on spark.sql.optimizer.windowGroupLimitThreshold,
+    default on — this env runs 4.1.2; on older Spark or with the rule
+    disabled, hot buckets shuffle pre-limit: correctness is unchanged but
+    the heat-independence claim needs that rule) — and (3) that
+    one-row-per-bucket table
     joins the bands map-side. Two mins (not one) preserve the replay-safety
     guard exactly: after a crash between a streaming batch's store append
     and its checkpoint commit, the replayed batch probes a store holding

@@ -243,37 +243,43 @@ def main() -> None:
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    ops = tuple(ops_arg.split(","))
-    samples: dict[str, dict[int, list[float]]] = {o: {n_lo: [], n_hi: []} for o in ops}
-    inv: dict[str, object] = {}
-    for _ in range(rounds):
-        for cpus in (n_lo, n_hi):
-            r = run(cpus)
-            for o in ops:
-                samples[o][cpus].append(r[f"{o}_sec"])
-                key = f"{o}_inv"
-                assert inv.get(key) in (None, r[key]), f"{key} must be invariant"
-                inv[key] = r[key]
-    out = {
-        "n_docs": n_docs,
-        "pair": f"{n_lo}->{n_hi}",
-        "gen": gen_name,
-        "invariants": inv,
-    }
-    for o in ops:
-        t_lo, t_hi = min(samples[o][n_lo]), min(samples[o][n_hi])
-        out[o] = {
-            "sec_lo": t_lo,
-            "sec_hi": t_hi,
-            "docs_per_sec_hi": round(n_docs / t_hi, 1),
-            "speedup": round(t_lo / t_hi, 3),
-            "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
-            "samples": samples[o],
+    # try/finally: a failed child (subprocess.run(check=True) raises) must
+    # not strand the multi-GB CORPUS/STORE/VECS temp dirs across runs
+    try:
+        ops = tuple(ops_arg.split(","))
+        samples: dict[str, dict[int, list[float]]] = {
+            o: {n_lo: [], n_hi: []} for o in ops
         }
-    print(json.dumps(out))
-    shutil.rmtree(CORPUS, ignore_errors=True)
-    shutil.rmtree(STORE, ignore_errors=True)
-    shutil.rmtree(VECS, ignore_errors=True)
+        inv: dict[str, object] = {}
+        for _ in range(rounds):
+            for cpus in (n_lo, n_hi):
+                r = run(cpus)
+                for o in ops:
+                    samples[o][cpus].append(r[f"{o}_sec"])
+                    key = f"{o}_inv"
+                    assert inv.get(key) in (None, r[key]), f"{key} must be invariant"
+                    inv[key] = r[key]
+        out = {
+            "n_docs": n_docs,
+            "pair": f"{n_lo}->{n_hi}",
+            "gen": gen_name,
+            "invariants": inv,
+        }
+        for o in ops:
+            t_lo, t_hi = min(samples[o][n_lo]), min(samples[o][n_hi])
+            out[o] = {
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "docs_per_sec_hi": round(n_docs / t_hi, 1),
+                "speedup": round(t_lo / t_hi, 3),
+                "efficiency": round((t_lo / t_hi) / (n_hi / n_lo), 3),
+                "samples": samples[o],
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(CORPUS, ignore_errors=True)
+        shutil.rmtree(STORE, ignore_errors=True)
+        shutil.rmtree(VECS, ignore_errors=True)
 
 
 if __name__ == "__main__":
