@@ -142,10 +142,12 @@ class Percolator:
         min_should: int | None = None,
         df_stats: DataFrame | None = None,
         df_probe: int = 20_000,
+        probe_min_queries: int = 16,
     ):
         self.analyzer = analyzer
         self.min_should = min_should
         self.df_probe = df_probe
+        self.probe_min_queries = probe_min_queries
         self._qrows = _collect_query_sets(queries, analyzer)
         self._vocab = sorted({t for _, qset in self._qrows for t in qset})
         self._b_index = None
@@ -165,7 +167,9 @@ class Percolator:
             )
 
     def _compile(self, df_src: DataFrame) -> None:
-        dfmap = {r["term"]: r["df"] for r in df_src.collect()}
+        self._compile_map({r["term"]: r["df"] for r in df_src.collect()})
+
+    def _compile_map(self, dfmap: dict) -> None:
         # rarest-term routing index: term -> [(qid, frozenset terms, nterms)]
         index: dict[str, list[tuple[int, frozenset, int]]] = {}
         for qid, qset in self._qrows:
@@ -183,13 +187,28 @@ class Percolator:
 
     def match(self, docs: DataFrame) -> DataFrame:
         if self._b_index is None:
-            src = (
-                _df_probe_terms(docs, self.analyzer, self.df_probe)
-                .filter(F.col("term").isin(self._vocab))
-                .groupBy("term")
-                .agg(F.count("*").alias("df"))
-            )
-            self._compile(src)
+            if len(self._qrows) < self.probe_min_queries:
+                # Cost gate (r6, same shape as bm25's prune_min_postings):
+                # routing choice NEVER affects the emitted rows — for an
+                # emitted (doc, query) pair the doc holds ≥ min_should of
+                # the query's terms, and any n−m+1 routed terms must
+                # intersect those by pigeonhole — df ranking only tunes
+                # which candidates get CHECKED. With a handful of stored
+                # queries the kernel pass is tokenize-dominated (at most
+                # |queries| extra set intersections per doc under the
+                # worst routing), while the df probe is a whole
+                # tokenize-pipeline job over up to df_probe docs. Skip it
+                # and route by the existing df=0 fallback ordering
+                # (term-sorted); pass probe_min_queries=0 to always probe.
+                self._compile_map({})
+            else:
+                src = (
+                    _df_probe_terms(docs, self.analyzer, self.df_probe)
+                    .filter(F.col("term").isin(self._vocab))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                )
+                self._compile(src)
         b_index = self._b_index
         need_m = self.min_should  # None = AND
 
@@ -239,6 +258,7 @@ def percolate(
     df_stats: DataFrame | None = None,
     broadcast_queries: bool = True,
     df_probe: int = 20_000,
+    probe_min_queries: int = 16,
 ) -> DataFrame:
     """→ (docid, qid, matched, nterms): stored queries matching each doc.
     AND semantics by default (matched == nterms); ``min_should=m`` relaxes
@@ -255,6 +275,7 @@ def percolate(
         min_should=min_should,
         df_stats=df_stats,
         df_probe=df_probe,
+        probe_min_queries=probe_min_queries,
     ).match(docs)
 
 

@@ -61,6 +61,36 @@ def test_percolate_matches_bruteforce(spark_session_holder, docs, qs, min_should
     assert got == expect, (min_should, got ^ expect)
 
 
+def test_probe_gate_emits_identical_rows(spark):
+    """r6 cost gate: a small stored-query set skips the routing-df probe
+    (term-sorted fallback routing). Emitted rows must be IDENTICAL to the
+    probed path for both AND and min_should semantics — routing choice
+    only tunes which candidates get checked, never what matches."""
+    rows = [
+        (i, f"apple banana doc{i % 3} cherry grape" if i % 2 else "figs elder dates",
+         "en", "t", 0)
+        for i in range(40)
+    ]
+    corpus = load_corpus(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple cherry"), (1, "figs dates"), (2, "banana doc1"), (3, "grape elder")],
+        "qid long, query string",
+    )
+    for ms in (None, 1):
+        probed = percolate(
+            corpus, queries, analyzer="punct_nostem", min_should=ms,
+            probe_min_queries=0,  # force the routing-df probe
+        )
+        gated = percolate(corpus, queries, analyzer="punct_nostem", min_should=ms)
+        assert probed.exceptAll(gated).count() == 0
+        assert gated.exceptAll(probed).count() == 0
+        assert gated.count() > 0
+
+
 # hypothesis re-runs the test function many times; a module fixture would
 # re-enter Spark setup per example — reuse the session via a plain fixture
 import pytest
