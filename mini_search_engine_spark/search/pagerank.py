@@ -320,6 +320,19 @@ def hits(
     round trip. Mutual recursion makes HITS two exchanges per iteration
     where PageRank pays one; that is inherent to the algorithm, not the
     plan.
+
+    Sparse intermediates (r6): half-step frames carry ONLY nodes with a
+    nonzero raw sum — the old per-half-step ``nodes LEFT JOIN msgs``
+    zero-fill was mathematically inert (an exact 0.0 contributes nothing
+    to the next half-step's sums or to the L2 norm), so dropping it
+    removes one join from every checkpoint job and shrinks the
+    checkpointed frames to the in/out-degree support. The full vertex set
+    is restored ONCE at the end (zero-filled left joins), so the output
+    contract — one row per node, isolated nodes at (0, 0) — is unchanged.
+    Values are identical up to float summation order, which the declared
+    contract already tolerates (the hits_rank oracle compares at 6 dp;
+    verified equal at 6 dp on the entry edge sets at three SFs).
+    Measured 3.0–3.4 → 1.5–2.1 s for hits_3it at sf0.1, local[32].
     """
     if num_iter < 1:
         raise ValueError("hits requires num_iter >= 1")
@@ -339,20 +352,14 @@ def hits(
         join_on: str,
         group_on: str,
         out_col: str,
-        checkpoint: bool,
     ) -> DataFrame:
-        msgs = (
+        raw = (
             e.join(scores.withColumnRenamed("docid", join_on), join_on)
             .groupBy(group_on)
             .agg(F.sum(score_col).alias(out_col))
             .withColumnRenamed(group_on, "docid")
-        )
-        raw = nodes.join(msgs, "docid", "left").select(
-            "docid", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
-        )
-        if checkpoint:
-            raw = raw.localCheckpoint()  # eager: truncate lineage, 1 job
-            _ckpts.append(raw)
+        ).localCheckpoint()  # eager: truncate lineage, 1 job
+        _ckpts.append(raw)
         nrm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("nrm"))
         return raw.crossJoin(F.broadcast(nrm)).select(
             "docid",
@@ -370,9 +377,17 @@ def hits(
         # sf1.0 local[32] — the lazy auth sub-plan recomputes inside the
         # hub checkpoint job and again in the final join, costing more
         # than the saved driver round trip. Per-half-step stays.
-        auth = _half_step(hub, "hub", "src", "dst", "authority", checkpoint=True)
-        hub = _half_step(auth, "authority", "dst", "src", "hub", checkpoint=True)
-    out = auth.join(hub, "docid").select("docid", "authority", "hub")
+        auth = _half_step(hub, "hub", "src", "dst", "authority")
+        hub = _half_step(auth, "authority", "dst", "src", "hub")
+    out = (
+        nodes.join(auth, "docid", "left")
+        .join(hub, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+        )
+    )
     out = out.localCheckpoint()  # pin the result, then release everything
     # eagerly free the 2·num_iter intermediate O(|V|) checkpoint blocks —
     # GC would reclaim them EVENTUALLY, but a serving session calling this

@@ -137,6 +137,21 @@ def test_hits_hand_computed(spark):
     assert abs(sum(v * v for v in hubs.values()) - 1.0) < 1e-9
 
 
+def test_hits_sparse_intermediates_restore_all_nodes(spark):
+    """r6 sparse half-steps: intermediate frames drop exact-zero nodes;
+    the final frame must still carry EVERY node — including ones supplied
+    via the nodes kwarg that appear in no edge — at (0.0, 0.0)."""
+    from mini_search_engine_spark.search import hits
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (3, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "docid long")
+    got = {r["docid"]: (r["authority"], r["hub"]) for r in
+           hits(edges, num_iter=3, nodes=nodes).collect()}
+    assert set(got) == set(range(6))
+    assert got[4] == (0.0, 0.0) and got[5] == (0.0, 0.0)  # isolated
+    assert got[1][0] > 0 and got[0][1] > 0  # structure intact
+
+
 def test_personalized_pagerank_hand(spark):
     """2-iteration hand check on the chain 0→1→2, seed {0}: mass decays
     with distance (unnormalized base = 0.15 on seeds)."""

@@ -224,6 +224,75 @@ def main():
     pivot_old = counts.groupBy("token").pivot("_y", labels).agg(F.sum("count"))
     dump("nb_train_pivot", pivot_old)  # shape unchanged; job COUNT differs (3 corpus jobs -> 1)
 
+    # ---- hits (sparse intermediates) ----
+    # before: r5 half-step with the nodes LEFT JOIN zero-fill inside every
+    # checkpointed frame; after: library hits() — sparse half-steps, full
+    # vertex set restored once at the end. The interesting diff is the
+    # PER-HALF-STEP job plan (one join fewer) plus the final restore join.
+    from mini_search_engine_spark.search import hits as hits_new
+    from mini_search_engine_spark.search.pagerank import _free_local_checkpoint
+
+    def hits_old(edges, num_iter=3):
+        nodes = (
+            edges.select(F.col("src").alias("docid"))
+            .unionByName(edges.select(F.col("dst").alias("docid")))
+            .distinct()
+        ).persist()
+        e = edges.select("src", "dst").persist()
+        ckpts = []
+
+        def half(scores, score_col, join_on, group_on, out_col):
+            msgs = (
+                e.join(scores.withColumnRenamed("docid", join_on), join_on)
+                .groupBy(group_on)
+                .agg(F.sum(score_col).alias(out_col))
+                .withColumnRenamed(group_on, "docid")
+            )
+            raw = nodes.join(msgs, "docid", "left").select(
+                "docid", F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
+            )
+            pre = raw  # pre-checkpoint plan of the half-step job
+            raw = raw.localCheckpoint()
+            ckpts.append(raw)
+            nrm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col))).alias("nrm"))
+            return pre, raw.crossJoin(F.broadcast(nrm)).select(
+                "docid",
+                F.when(F.col("nrm") > 0, F.col(out_col) / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias(out_col),
+            )
+
+        hub = nodes.select("docid", F.lit(1.0).alias("hub"))
+        pre1, auth = half(hub, "hub", "src", "dst", "authority")
+        _, hub = half(auth, "authority", "dst", "src", "hub")
+        out = auth.join(hub, "docid").select("docid", "authority", "hub")
+        for df in ckpts:
+            _free_local_checkpoint(df)
+        e.unpersist(); nodes.unpersist()
+        return pre1, out
+
+    graph = docs.select(
+        F.col("docid").alias("src"), ((F.col("docid") * 7 + 3) % 500).alias("dst")
+    )
+    pre_old, out_old = hits_old(graph)
+    dump("hits_half_step_before", pre_old)
+    dump("hits_rank_before", out_old)
+    # the new half-step plan: reproduce the first checkpoint job's plan
+    nodes_n = (
+        graph.select(F.col("src").alias("docid"))
+        .unionByName(graph.select(F.col("dst").alias("docid")))
+        .distinct()
+    )
+    hub0 = nodes_n.select("docid", F.lit(1.0).alias("hub"))
+    half_new = (
+        graph.join(hub0.withColumnRenamed("docid", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum("hub").alias("authority"))
+        .withColumnRenamed("dst", "docid")
+    )
+    dump("hits_half_step_after", half_new)
+    dump("hits_rank_after", hits_new(graph, num_iter=3))
+
     idx.unpersist()
     spark.stop()
 
