@@ -217,15 +217,25 @@ def link_distance(
     checkpoint's materialization, no extra job). State is O(reached), the
     per-hop shuffle is O(frontier-adjacent edges); hub fanout dedups inside
     the hop's ``distinct`` before touching the reached set.
+
+    r6: the reached set is a LAZY union of the hop checkpoints rather
+    than a re-checkpointed frame — a union of ≤ max_hops in-memory
+    leaves is constant-depth lineage already, so the second
+    materialization job every hop paid was pure overhead; and the hop-h
+    frontier IS the previous hop's ``nxt`` (exactly the rows the old
+    ``filter(dist == hop-1)`` selected), so no filter over the union
+    either. One final checkpoint pins the result and lets every hop leaf
+    be freed (same leak contract: one surviving block).
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst").persist()
-    dist = spark.createDataFrame(
+    seed0 = spark.createDataFrame(
         [(int(s), 0) for s in sorted(set(seeds))], "docid long, dist int"
     ).localCheckpoint()
-    _ckpts: list[DataFrame] = []
+    _ckpts: list[DataFrame] = [seed0]
+    dist = seed0
+    frontier = seed0.select("docid")
     for hop in range(1, max_hops + 1):
-        frontier = dist.filter(F.col("dist") == hop - 1).select("docid")
         nxt = (
             e.join(frontier.withColumnRenamed("docid", "src"), "src")
             .select(F.col("dst").alias("docid"))
@@ -236,12 +246,13 @@ def link_distance(
         _ckpts.append(nxt)
         if not nxt.take(1):  # checkpointed — take(1) is a local scan
             break
-        _ckpts.append(dist)
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = dist.unionByName(nxt)  # lazy union of checkpoint leaves
+        frontier = nxt.select("docid")
+    out = dist.localCheckpoint()  # pin the result, then free the hop leaves
     e.unpersist()
-    for df in _ckpts:  # free hop intermediates; the result block survives
+    for df in _ckpts:
         _free_local_checkpoint(df)
-    return dist
+    return out
 
 
 def cocitation(
